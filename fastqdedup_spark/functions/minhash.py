@@ -1,0 +1,154 @@
+"""MinHash signatures over char k-gram shingles — the graft's
+candidate-generation model (BASELINE.json north_rule), replacing the
+reference's trie radius search
+(/root/reference/src/fastqdedup/_triemodule.c:380-495).
+
+Vectorization strategy (no per-row Python, per input_hint):
+- a whole Arrow batch of normalized texts is concatenated into ONE
+  uint8 buffer (k-1 junk windows straddle row boundaries);
+- k-gram rolling polynomial hashes over that buffer are k vectorized
+  fused ops (H = H*B + buf[j:]), finalized with splitmix64;
+- boundary-straddling windows are overwritten with UINT64_MAX so they
+  can never win a min;
+- each of the `num_perm` permutations is one xor + splitmix64 + one
+  `np.minimum.reduceat` over the row-start offsets.
+
+Duplicate shingles need no dedup: min over a multiset equals min over
+its set, so signatures are exact MinHash over the shingle SET.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from fastqdedup_spark.config import DedupConfig
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_POLY_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def perm_seeds(num_perm: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 77]))
+    return rng.integers(1, 2**63 - 1, size=num_perm, dtype=np.uint64)
+
+
+def normalize_content(col: str | Column = "content") -> Column:
+    """Content normalization as pure Catalyst expressions: lowercase,
+    collapse all whitespace runs to single spaces, trim. (Graft analog
+    of the reference's key projection O4, __init__.py:160-167.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def shingle_window_hashes(
+    texts: "pd.Series | list[str]", k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All k-gram window hashes for a batch.
+
+    Returns (hashes: uint64[nwin_total], starts: int64[nrows],
+    counts: int64[nrows]) where row i's valid shingle hashes live at
+    hashes[starts[i] : starts[i] + counts[i]] and junk (boundary)
+    windows inside [starts[i], starts[i+1]) are UINT64_MAX.
+    """
+    blobs = [t.encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+    pad = k - 1
+    padded = np.concatenate(
+        [np.frombuffer(b + b"\x00" * pad, dtype=np.uint8) for b in blobs]
+    ) if blobs else np.zeros(0, dtype=np.uint8)
+    buf = padded.astype(np.uint64)
+    n = len(buf)
+    nwin = max(n - k + 1, 0)
+    H = np.zeros(nwin, dtype=np.uint64)
+    for j in range(k):
+        H = H * _POLY_B + buf[j : j + nwin]
+    H = _splitmix64(H)
+    starts = np.zeros(len(blobs), dtype=np.int64)
+    if len(blobs) > 1:
+        np.cumsum(lens[:-1] + pad, out=starts[1:])
+    counts = np.maximum(lens - k + 1, 0)
+    # mask junk windows (those overlapping the pad after each row)
+    for i in range(len(blobs)):
+        lo = starts[i] + counts[i]
+        hi = min(starts[i] + lens[i] + pad, nwin)
+        if lo < hi:
+            H[max(lo, 0) : hi] = _U64_MAX
+    return H, starts, counts
+
+
+def minhash_batch(
+    texts: "pd.Series | list[str]", k: int, num_perm: int, seed: int
+) -> np.ndarray:
+    """(n_rows, num_perm) int64 signature matrix for a batch."""
+    H, starts, counts = shingle_window_hashes(texts, k)
+    n_rows = len(starts)
+    sig = np.empty((n_rows, num_perm), dtype=np.uint64)
+    if len(H) == 0:
+        sig[:] = _U64_MAX
+        return sig.view(np.int64)
+    seeds = perm_seeds(num_perm, seed)
+    clipped = np.minimum(starts, len(H) - 1)  # reduceat needs in-range offsets
+    for p in range(num_perm):
+        y = _splitmix64(H ^ seeds[p])
+        y[H == _U64_MAX] = _U64_MAX  # junk windows stay junk post-permutation
+        sig[:, p] = np.minimum.reduceat(y, clipped)
+    sig[counts == 0, :] = _U64_MAX  # rows too short to have any shingle
+    return sig.view(np.int64)
+
+
+def band_hashes_from_sig(sig: np.ndarray, bands: int, seed: int) -> np.ndarray:
+    """(n_rows, bands) int64: order-sensitive fold of each band's rows,
+    salted with the band index so identical values in different bands
+    never collide."""
+    n_rows, num_perm = sig.shape
+    r = num_perm // bands
+    u = sig.view(np.uint64).reshape(n_rows, bands, r)
+    acc = np.full((n_rows, bands), np.uint64(seed) + np.uint64(0x51ED), dtype=np.uint64)
+    for j in range(r):
+        acc = _splitmix64(acc * _POLY_B + u[:, :, j])
+    acc = acc ^ (np.arange(bands, dtype=np.uint64) << np.uint64(56))
+    return acc.view(np.int64)
+
+
+def shingle_set(text: str, k: int) -> set:
+    """Python-side exact shingle set (oracle + verify kernel)."""
+    H, starts, counts = shingle_window_hashes([text], k)
+    return set(H[: counts[0]].tolist())
+
+
+def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Appends `n_shingles:int`, `band_hash:array<long>` via one
+    mapInPandas pass over (id-ish cols + content_norm). Signature
+    itself is folded straight into band hashes — the full signature
+    array never ships through a shuffle unless requested."""
+    in_cols = df.columns
+    if "content_norm" not in in_cols:
+        df = df.withColumn("content_norm", normalize_content("content"))
+        in_cols = df.columns
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema) \
+        + ", n_shingles int, band_hash array<bigint>"
+    k, num_perm, bands, seed = cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.seed
+
+    def gen(it):
+        for pdf in it:
+            texts = pdf["content_norm"].fillna("")
+            sig = minhash_batch(texts, k, num_perm, seed)
+            bh = band_hashes_from_sig(sig, bands, seed)
+            lens = texts.str.encode("utf-8").str.len().to_numpy()
+            pdf = pdf.copy()
+            pdf["n_shingles"] = np.maximum(lens - k + 1, 0).astype(np.int32)
+            pdf["band_hash"] = list(bh)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)

@@ -1,0 +1,72 @@
+"""Quality-filter predicates.
+
+Reference: `average_error_rate(phred_scores, phred_offset)` C kernel
+(/root/reference/src/fastqdedup/_fastqmodule.c:38-76) backed by a
+`10**(-q/10)` lookup table (/root/reference/score_to_error_rate.py:6-8),
+applied as a filter at __init__.py:235,247-250.
+
+Here the lookup table is a numpy array and the kernel is a vectorized
+pandas UDF; the graft's code-domain analogs (content size caps, binary
+detection, lang whitelist) are pure Spark SQL expressions in
+`content_quality_filter`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame
+
+# phred q -> error probability, q in [0, 126] (covers all printable ASCII)
+_SCORE_TO_ERROR_RATE = 10.0 ** -(np.arange(127) / 10.0)
+
+
+def average_error_rate(phred_scores: str, phred_offset: int = 33) -> float:
+    """Scalar parity kernel: mean per-base error probability."""
+    codes = np.frombuffer(phred_scores.encode("ascii"), dtype=np.uint8)
+    qs = codes.astype(np.int64) - phred_offset
+    if len(qs) and (qs.min() < 0 or qs.max() > 93):
+        raise ValueError(
+            f"Character outside of valid phred range found: {phred_scores!r}"
+        )
+    if not len(qs):
+        return 0.0
+    return float(_SCORE_TO_ERROR_RATE[qs].mean())
+
+
+@F.pandas_udf(T.DoubleType())
+def average_error_rate_udf(scores: pd.Series) -> pd.Series:
+    """Vectorized over a whole Arrow batch: one bytes-concat, one
+    reduceat — no per-row Python."""
+    offset = 33
+    lens = scores.str.len().to_numpy()
+    blob = np.frombuffer("".join(scores).encode("ascii"), dtype=np.uint8)
+    rates = _SCORE_TO_ERROR_RATE[blob.astype(np.int64) - offset]
+    starts = np.zeros(len(scores), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    sums = np.add.reduceat(rates, starts) if len(blob) else np.zeros(len(scores))
+    sums[lens == 0] = 0.0
+    return pd.Series(sums / np.maximum(lens, 1))
+
+
+def content_quality_filter(
+    df: DataFrame,
+    max_bytes: int = 1_000_000,
+    min_chars: int = 1,
+    langs: list[str] | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """Graft analog of the reference's error-rate filter (O3): drop
+    oversized, empty, binary-looking, or non-whitelisted-language files.
+    Pure Catalyst expressions — pushed into the scan where possible.
+    """
+    cond: Column = (F.length(content_col) >= min_chars) & (
+        F.octet_length(content_col) <= max_bytes
+    )
+    # binary heuristic: NUL byte present
+    cond = cond & ~F.col(content_col).contains("\x00")
+    if langs:
+        cond = cond & F.col("lang").isin(langs)
+    return df.filter(cond)

