@@ -1,0 +1,133 @@
+"""64-bit SimHash — the second near-dup signature family (alongside
+MinHash) for the dedup tier.
+
+SimHash(doc) = sign-bit aggregate of the hashed token multiset: for
+each of 64 bit positions, sum +1/-1 over all token hashes and keep the
+sign. Near-duplicates land within small Hamming distance of each other
+in signature space, so candidate generation is the SAME pigeonhole
+banding the reference-parity path uses (split 64 bits into n chunks;
+operators/lsh.py) — a second concrete instance of re-grounding the
+trie's Hamming-radius search (/root/reference/src/fastqdedup/
+_triemodule.c:380-495) as explode + equi-join.
+
+Vectorization (no per-row Python): the whole Arrow batch's tokens are
+concatenated once; per-byte position-weighted mixes are summed into
+token hashes with one np.add.reduceat; bit signs accumulate with a
+second reduceat over np.unpackbits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame
+
+from fastqdedup_spark.functions.minhash import _splitmix64
+
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """uint64 hash per token: sum over bytes of mix(byte, position),
+    finalized with splitmix64. Position-weighted so anagrams differ;
+    sum-combined so the whole batch vectorizes."""
+    enc = [t.encode("utf-8", "surrogatepass") for t in tokens]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    starts = np.zeros(len(enc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(len(buf), dtype=np.uint64) - np.repeat(
+        starts.astype(np.uint64), lens
+    )
+    mixed = _splitmix64(buf * _P1 ^ (pos + np.uint64(1)) * _P2)
+    clipped = np.minimum(starts, max(len(buf) - 1, 0))
+    sums = np.add.reduceat(mixed, clipped) if len(buf) else np.zeros(len(enc), np.uint64)
+    sums = sums.astype(np.uint64)
+    sums[lens == 0] = 0
+    return _splitmix64(sums ^ (lens.astype(np.uint64) * _P1))
+
+
+def simhash_batch(texts: "pd.Series | list[str]", seed: int = 42) -> np.ndarray:
+    """int64[n_rows] SimHash over lowercased whitespace tokens."""
+    n = len(texts)
+    token_lists = [t.lower().split() for t in texts]
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    all_tokens = [tok for toks in token_lists for tok in toks]
+    out = np.zeros(n, dtype=np.uint64)
+    if not all_tokens:
+        return out.view(np.int64)
+    h = _splitmix64(_token_hashes(all_tokens) ^ np.uint64(seed))
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    signed = bits.astype(np.int32) * 2 - 1  # (n_tokens, 64) in {-1, +1}
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    clipped = np.minimum(starts, len(signed) - 1)
+    sums = np.add.reduceat(signed, clipped, axis=0)
+    packed = np.packbits((sums > 0).astype(np.uint8), axis=1, bitorder="little")
+    out = packed.view(np.uint64).ravel().copy()
+    out[counts == 0] = 0
+    return out.view(np.int64)
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    return pd.Series(simhash_batch(texts.fillna("")))
+
+
+def hamming64(a: "str | Column", b: "str | Column") -> Column:
+    """Popcount of XOR between two int64 signature columns — JVM-side
+    via bit_count (no UDF)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def simhash_bands(df: DataFrame, sig_col: str = "simhash", n_chunks: int = 4) -> DataFrame:
+    """Pigeonhole bands over the 64-bit signature: any pair within
+    Hamming distance <= n_chunks-1 shares at least one 16-bit chunk.
+    All JVM expressions — no UDF."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(
+                    F.lit(mask)
+                ).alias("chunk"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    return (
+        df.select("*", F.explode(chunks).alias("c"))
+        .select("*", F.xxhash64("c.bi", "c.chunk").alias("band_hash"))
+        .drop("c")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str = "id", text_col: str = "text",
+    max_hamming: int = 3, band_freq_cap: int = 10_000,
+) -> DataFrame:
+    """End-to-end SimHash near-dup pair finder: sign -> pigeonhole band
+    (n_chunks = max_hamming+1 guarantees 100% recall at the radius) ->
+    self-join -> exact bit_count verify. Returns (id_a, id_b, hamming)."""
+    signed = df.select(F.col(id_col).alias("nid"), simhash64(F.col(text_col)).alias("simhash"))
+    bands = simhash_bands(signed, n_chunks=max_hamming + 1)
+    sizes = bands.groupBy("band_hash").count().filter(
+        (F.col("count") > 1) & (F.col("count") <= band_freq_cap)
+    )
+    kept = bands.join(F.broadcast(sizes.select("band_hash")), "band_hash")
+    left = kept.select("band_hash", F.col("nid").alias("id_a"), F.col("simhash").alias("sig_a"))
+    right = kept.select("band_hash", F.col("nid").alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        left.join(right, "band_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64("sig_a", "sig_b").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

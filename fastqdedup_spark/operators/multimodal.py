@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` payload columns with typed metadata; all the
+Spark-side machinery — schemas, Arrow batch shapes, partition-friendly
+UDF signatures — is real and tested. The actual codec step is STUBBED:
+the image/audio libraries are not in this container, so `decode=True`
+raises NotImplementedError, while the default deterministic-fake path
+derives features from the payload bytes (stable across runs, so
+downstream dedup/similarity over media features is fully exercisable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int"
+)
+
+_MAGIC = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"RIFF": "audio/wav",
+    b"\x00\x00\x00": "video/mp4",
+}
+
+
+def sniff_mime(payload: bytes) -> str:
+    for magic, mime in _MAGIC.items():
+        if payload[: len(magic)] == magic:
+            return mime
+    return "application/octet-stream"
+
+
+def _fake_features(payloads: pd.Series, dim: int) -> list:
+    """Deterministic stand-in for a real encoder: features are a seeded
+    function of the payload bytes, so identical media always embed
+    identically (exactly what dedup-over-features needs)."""
+    out = []
+    for p in payloads:
+        b = bytes(p) if p is not None else b""
+        seed = int.from_bytes(
+            __import__("hashlib").blake2b(b, digest_size=8).digest(), "big"
+        )
+        rng = np.random.default_rng(seed)
+        out.append(rng.standard_normal(dim).astype(np.float32))
+    return out
+
+
+def extract_media_features(
+    df: DataFrame, dim: int = 64, decode: bool = False,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas: (.., payload) -> (.., mime, n_bytes, features).
+
+    `decode=True` is the real-codec path — NotImplementedError until
+    PIL/librosa/pyav exist in the image; the plumbing (schema, batch
+    iteration, output shape) is identical either way.
+    """
+    if decode:
+        raise NotImplementedError(
+            "real media decoding requires PIL/librosa/pyav, absent in this "
+            "container; run with decode=False for the deterministic-fake encoder"
+        )
+    for clash in ("mime", "n_bytes", "features"):
+        if clash in df.columns:
+            df = df.drop(clash)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + ", mime string, n_bytes long, features array<float>"
+
+    def gen(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            payloads = pdf[payload_col]
+            pdf["mime"] = [sniff_mime(bytes(p) if p is not None else b"") for p in payloads]
+            pdf["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]
+            pdf["features"] = _fake_features(payloads, dim)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_ms: int = 1000, duration_col: str = "duration_ms"
+) -> DataFrame:
+    """Video frame-sampling plumbing: explode one row per planned frame
+    timestamp (JVM-side sequence — the decode of each frame is the
+    stubbed step above). Demonstrates the fan-out shape: partitioning
+    stays by media_id, so one video's frames never straddle tasks."""
+    return df.withColumn(
+        "frame_ts_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col(duration_col) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ),
+    )
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests (no external data)."""
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            kinds = ["image", "audio", "video"]
+            magics = [b"\x89PNG", b"RIFF", b"\x00\x00\x00"]
+            for mid in ids:
+                kind_i = int(mid) % 3
+                rng = np.random.default_rng(np.random.SeedSequence([seed, int(mid)]))
+                body = rng.integers(0, 256, int(rng.integers(200, 800)), dtype=np.uint8)
+                payload = magics[kind_i] + body.tobytes()
+                if int(mid) % 7 == 0 and mid >= 3:  # planted exact dup of id-3
+                    dup_rng = np.random.default_rng(np.random.SeedSequence([seed, int(mid) - 3]))
+                    dbody = dup_rng.integers(0, 256, int(dup_rng.integers(200, 800)), dtype=np.uint8)
+                    payload = magics[(int(mid) - 3) % 3] + dbody.tobytes()
+                rows.append(
+                    (int(mid), kinds[kind_i], payload, "", 64, 64,
+                     int(rng.integers(1000, 8000)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)

@@ -1,0 +1,212 @@
+"""Exact substring-level duplicate detection (SURVEY.md M7; north_star
+"suffix-array pass for exact substring duplicates").
+
+Two cooperating passes:
+
+1. `winnowing_fingerprints` — MOSS-style winnowing: per document, hash
+   every k-gram, slide a window of w hashes, keep each window's minimum
+   (rightmost on ties). Guarantees: any shared substring of length >=
+   w + k - 1 yields at least one shared fingerprint. Fingerprints are
+   tiny, so the cross-document phase is a plain groupBy — this is the
+   CROSS-PARTITION (and cross-machine) path and scales like word count.
+
+2. `partition_suffix_array` — an exact per-partition suffix array
+   (prefix-doubling, O(n log^2 n), pure numpy argsorts) + Kasai LCP over
+   the partition's concatenated normalized text, emitting maximal
+   repeated substrings of length >= min_len WITH their owning docs.
+   Used to verify/extract the actual repeated strings among documents
+   that winnowing already co-bucketed (repartition by fingerprint first
+   so matching docs share a partition).
+
+Design note: a global suffix array over 100 TB is not a Spark-shaped
+object; the fingerprint groupBy IS the distributed join, and exact
+extraction is deliberately partition-local — the same decomposition
+as candidate-generation + verify elsewhere in this engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from fastqdedup_spark.functions.minhash import shingle_window_hashes
+
+
+def winnowing_fingerprints_batch(
+    texts: "pd.Series | list[str]", k: int, w: int
+) -> list[np.ndarray]:
+    """Per-row arrays of distinct winnowed fingerprints (int64)."""
+    H, starts, counts = shingle_window_hashes(texts, k)
+    out = []
+    for i in range(len(starts)):
+        hs = H[starts[i] : starts[i] + counts[i]]
+        if len(hs) == 0:
+            out.append(np.zeros(0, dtype=np.int64))
+            continue
+        if len(hs) <= w:
+            out.append(np.unique(hs).view(np.int64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(hs, w)
+        # rightmost minimum per window: argmin on the reversed axis
+        rev = win[:, ::-1]
+        idx = (w - 1) - rev.argmin(axis=1)
+        picks = win[np.arange(len(win)), idx]
+        out.append(np.unique(picks).view(np.int64))
+    return out
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str = "id", text_col: str = "content_norm",
+    k: int = 25, w: int = 40,
+) -> DataFrame:
+    """(id, fingerprint) exploded — any shared substring of length >=
+    w + k - 1 (~64 chars at defaults) produces a shared fingerprint."""
+    schema = f"{id_col} {dict(df.dtypes)[id_col]}, fingerprint bigint"
+
+    def gen(it):
+        for pdf in it:
+            fps = winnowing_fingerprints_batch(pdf[text_col].fillna(""), k, w)
+            lens = np.fromiter((len(f) for f in fps), dtype=np.int64, count=len(fps))
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), lens),
+                    "fingerprint": np.concatenate(fps) if len(fps) else [],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def substring_dup_pairs(
+    df: DataFrame, id_col: str = "id", text_col: str = "content_norm",
+    k: int = 25, w: int = 40, fingerprint_cap: int = 2000,
+) -> DataFrame:
+    """Documents sharing >= 1 winnowed fingerprint, with the count of
+    shared fingerprints as a match-strength score. Mega-fingerprints
+    (boilerplate) are capped like LSH mega-bands."""
+    fps = winnowing_fingerprints(df, id_col, text_col, k, w)
+    sizes = fps.groupBy("fingerprint").count().filter(
+        (F.col("count") > 1) & (F.col("count") <= fingerprint_cap)
+    )
+    kept = fps.join(F.broadcast(sizes.select("fingerprint")), "fingerprint")
+    left = kept.select("fingerprint", F.col(id_col).alias("id_a"))
+    right = kept.select("fingerprint", F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact per-partition suffix array
+# ---------------------------------------------------------------------------
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Prefix-doubling suffix array over a uint8/int array. Pure numpy,
+    O(n log^2 n): rank pairs re-sorted with doubling offsets."""
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    rank = np.asarray(s, dtype=np.int64)
+    sa = np.argsort(rank, kind="stable")
+    tmp = np.empty(n, dtype=np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        sa = order
+        tmp[sa[0]] = 0
+        prev, cur = sa[:-1], sa[1:]
+        newgroup = (rank[cur] != rank[prev]) | (key2[cur] != key2[prev])
+        tmp[cur] = np.cumsum(newgroup)
+        rank = tmp.copy()
+        if rank[sa[-1]] == n - 1:
+            return sa.astype(np.int64)
+        k *= 2
+
+
+def lcp_kasai(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP array: lcp[i] = LCP(suffix sa[i-1], suffix sa[i])."""
+    n = len(s)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def partition_repeated_substrings(
+    df: DataFrame, id_col: str = "id", text_col: str = "content_norm",
+    min_len: int = 64, max_emit_per_partition: int = 10_000,
+) -> DataFrame:
+    """Exact repeated substrings (length >= min_len) WITHIN each
+    partition, across documents: returns (id_a, id_b, substr_hash,
+    length). Repartition the input by a co-bucketing key (e.g. winnowing
+    fingerprint or cluster_id) first so near-matching docs co-locate."""
+    sep = 0x1F  # below any printable byte; breaks runs between docs
+    schema = f"id_a long, id_b long, substr_hash bigint, length bigint"
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            blobs = [t.encode("utf-8", "replace") for t in pdf[text_col].fillna("")]
+            if not blobs:
+                continue
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+            joined = (bytes([sep])).join(blobs)
+            s = np.frombuffer(joined, dtype=np.uint8)
+            if len(s) < min_len:
+                continue
+            # doc index per byte position
+            bounds = np.cumsum(lens[:-1] + 1)
+            docpos = np.zeros(len(s), dtype=np.int64)
+            docpos[bounds] = 1
+            docpos = np.cumsum(docpos)
+            sa = suffix_array(s)
+            lcp = lcp_kasai(s, sa)
+            hit = np.nonzero(lcp >= min_len)[0][:max_emit_per_partition]
+            rows = []
+            for r in hit:
+                i, j = sa[r - 1], sa[r]
+                da, db = int(docpos[i]), int(docpos[j])
+                if da == db:
+                    continue  # repeat within one document
+                L = int(lcp[r])
+                frag = s[i : i + L]
+                # a shared-sentinel match must not span doc boundaries
+                sep_hits = np.nonzero(frag == sep)[0]
+                if len(sep_hits):
+                    L = int(sep_hits[0])
+                    if L < min_len:
+                        continue
+                    frag = frag[:L]
+                # stable 64-bit content hash of the repeated substring
+                hval = int.from_bytes(
+                    __import__("hashlib").blake2b(frag.tobytes(), digest_size=8).digest(),
+                    "big", signed=True,
+                )
+                a, b = int(ids[da]), int(ids[db])
+                rows.append((min(a, b), max(a, b), hval, L))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["id_a", "id_b", "substr_hash", "length"]
+                )
+
+    out = df.select(id_col, text_col).mapInPandas(gen, schema)
+    return out.groupBy("id_a", "id_b", "substr_hash").agg(F.max("length").alias("length"))

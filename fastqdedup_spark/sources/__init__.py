@@ -1,0 +1,39 @@
+"""Source/sink helpers.
+
+The north_rule input is an Iceberg table of source-code files; the
+Iceberg runtime jars are not in this image, so `read_files_table`
+degrades gracefully: try the Iceberg catalog format first, fall back to
+parquet-at-path (same schema contract either way). Writers mirror that.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_files_table(spark: SparkSession, location: str) -> DataFrame:
+    """Iceberg table name or parquet path -> files DataFrame."""
+    try:
+        df = spark.read.format("iceberg").load(location)
+    except Exception:
+        df = spark.read.parquet(location)
+    missing = set(FILES_COLUMNS) - set(df.columns)
+    if missing:
+        raise ValueError(f"files table at {location} missing columns: {missing}")
+    if "id" not in df.columns:
+        df = df.withColumn("id", F.xxhash64("repo", "path", "commit"))
+    return df
+
+
+def write_table(df: DataFrame, location: str, mode: str = "overwrite") -> None:
+    try:
+        df.writeTo(location).createOrReplace()
+    except Exception:
+        df.write.mode(mode).parquet(location)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,128 @@
+"""Similarity search + suffix-array/winnowing + multimodal tests."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from fastqdedup_spark.operators.similarity import brute_force_topk, lsh_topk
+from fastqdedup_spark.operators.suffix_array import (
+    lcp_kasai,
+    partition_repeated_substrings,
+    substring_dup_pairs,
+    suffix_array,
+)
+from fastqdedup_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(1)
+    rows = [(i, rng.standard_normal(16).astype(float).tolist()) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    queries = vectors.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = brute_force_topk(vectors, queries, k=5, vec_col="embedding")
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # verify against numpy ground truth
+    data = {r.vec_id: np.array(r.embedding) for r in vectors.collect()}
+    for qid, got in by_q.items():
+        q = data[qid] / np.linalg.norm(data[qid])
+        scores = {
+            vid: float(v @ q / np.linalg.norm(v)) for vid, v in data.items()
+        }
+        want = sorted(scores, key=lambda v: (-scores[v], v))[:5]
+        assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == want
+        assert got[0].query_id == qid
+    # self-match is always rank 1 with score 1
+    assert all(
+        r.score == pytest.approx(1.0) for r in rows if r.rank == 1 and r.vec_id == r.query_id
+    )
+
+
+def test_lsh_topk_recall(spark, vectors):
+    queries = vectors.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(vectors, queries, k=3)
+    approx = lsh_topk(vectors, queries, dim=16, k=3, n_bits=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # bucketed ANN must at least find every query's own vector
+    assert all((q, q) in a for q in [r.query_id for r in queries.collect()])
+    assert len(e & a) / len(e) > 0.3  # loose: 4-bit buckets prune hard
+
+
+def test_suffix_array_known():
+    s = np.frombuffer(b"banana", dtype=np.uint8)
+    sa = suffix_array(s)
+    assert sa.tolist() == [5, 3, 1, 0, 4, 2]
+    lcp = lcp_kasai(s, sa)
+    assert lcp.tolist() == [0, 1, 3, 0, 0, 2]
+
+
+def test_partition_repeated_substrings(spark):
+    shared = "x = compute_the_common_helper_function(alpha, beta, gamma); " * 3
+    rows = [
+        (0, "prefix zero " + shared + " suffix zero"),
+        (1, "prefix one one " + shared + " tail one"),
+        (2, "nothing in common here at all with the others truly"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content_norm string").coalesce(1)
+    got = partition_repeated_substrings(df, min_len=40).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    assert all(r.length >= 40 for r in got)
+
+
+def test_winnowing_substring_pairs(spark):
+    shared = "def shared_helper(a, b):\n    return normalize(a) + normalize(b)\n" * 4
+    rows = [
+        (0, "import os\n" + shared + "print('zero')"),
+        (1, "import sys\n" + shared + "print('one')"),
+        (2, "class Unrelated:\n    pass\n" * 10),
+        (3, "other text entirely, no shared blocks at all " * 6),
+    ]
+    df = spark.createDataFrame(rows, "id long, content_norm string")
+    got = substring_dup_pairs(df, k=25, w=40).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (0, 1) in pairs
+    assert not any(2 in p or 3 in p for p in pairs)
+
+
+def test_media_features_deterministic(spark):
+    media = synth_media(spark, 30)
+    feats = extract_media_features(media, dim=16)
+    rows = feats.select("media_id", "mime", "n_bytes", "features").collect()
+    assert len(rows) == 30
+    assert all(len(r.features) == 16 for r in rows)
+    by_id = {r.media_id: r for r in rows}
+    # planted dup: media 7 is a byte-copy of media 4 -> identical features
+    assert by_id[7].features == by_id[4].features
+    mimes = {r.mime for r in rows}
+    assert {"image/png", "audio/wav", "video/mp4"} <= mimes
+
+
+def test_media_decode_stub_raises(spark):
+    media = synth_media(spark, 2)
+    with pytest.raises(NotImplementedError):
+        extract_media_features(media, decode=True)
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, 9).filter(F.col("kind") == "video")
+    frames = frame_sample_plan(media, every_ms=1000)
+    counts = frames.groupBy("media_id").count().collect()
+    durations = {r.media_id: r.duration_ms for r in media.collect()}
+    for r in counts:
+        expected = (durations[r.media_id] - 1) // 1000 + 1
+        assert r["count"] == expected
