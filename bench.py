@@ -1,0 +1,110 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
+
+Headline set = the end-to-end near-dup pipeline (the engine's whole
+point) + the heaviest operator families (LSH near-dup, SimHash,
+substring dups, CC, cosine top-k, TPC-H-style agg). Timings exclude JVM
+startup (a warm-up action runs first).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from fastqdedup_spark.config import DedupConfig
+from fastqdedup_spark.corpus import generate_files
+from fastqdedup_spark.pipeline import dedup_files
+from fastqdedup_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_CORPUS_FILES", "24000"))
+
+
+def bench_pipeline_docs(spark, sf):
+    """Full pipeline over sf documents + planted near-dup copies."""
+    files = entrymod._docs_as_files(entrymod._t(spark, sf, "documents"))
+    n = files.count()
+    cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.8)
+    t0 = time.monotonic()
+    res = dedup_files(spark, files, cfg, quality=False, collect_metrics=False)
+    n_out = res.deduped.count()
+    dt = time.monotonic() - t0
+    return dt, {"files_in": n, "files_out": n_out}
+
+
+def bench_pipeline_corpus(spark, _sf):
+    """Full pipeline over the deterministic synthetic code corpus."""
+    files = generate_files(spark, CORPUS_FILES, seed=42).cache()
+    n = files.count()
+    cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
+    t0 = time.monotonic()
+    res = dedup_files(spark, files, cfg, quality=False, collect_metrics=False)
+    n_out = res.deduped.count()
+    dt = time.monotonic() - t0
+    files.unpersist()
+    return dt, {"files_in": n, "files_out": n_out}
+
+
+def main() -> None:
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).agg(F.sum("id")).collect()  # JVM warm-up
+
+    qs = entrymod.queries()
+    headline = [
+        "q01_pricing_summary",
+        "q11_bigram_jaccard",
+        "q12_cosine_topk",
+        "q13_connected_components",
+        "q14_minhash_near_dup",
+        "q15_simhash_pairs",
+        "q16_substring_dups",
+    ]
+    timings: dict[str, float] = {}
+    extras: dict[str, dict] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        extras[name] = {"rows": n}
+
+    for name, fn in [
+        ("pipeline_dedup_docs", bench_pipeline_docs),
+        ("pipeline_dedup_corpus", bench_pipeline_corpus),
+    ]:
+        dt, info = fn(spark, SF_DIR)
+        timings[name] = round(dt, 3)
+        info["files_per_sec"] = round(info["files_in"] / dt, 1)
+        extras[name] = info
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "detail": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

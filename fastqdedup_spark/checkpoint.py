@@ -68,7 +68,10 @@ class StageCheckpointer:
         )
 
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
-        """Build-or-load. Times the stage and records its row count."""
+        """Build-or-load, ALWAYS materialized: parquet when a checkpoint
+        dir is configured (durable resume), eager localCheckpoint
+        otherwise (plan truncation + reuse — without this, every
+        downstream action would recompute the whole upstream DAG)."""
         t0 = time.monotonic()
         if self.has(name):
             df = self.spark.read.parquet(self._path(name))
@@ -78,6 +81,8 @@ class StageCheckpointer:
         if self.base:
             df.write.mode("overwrite").parquet(self._path(name))
             df = self.spark.read.parquet(self._path(name))
+        else:
+            df = df.localCheckpoint(eager=True)
         self.metrics.add(name, "seconds", time.monotonic() - t0)
         return df
 

@@ -31,11 +31,15 @@ _POLY_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 
 
 def _splitmix64(z: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain constant set)."""
-    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    """Vectorized splitmix64 finalizer (public-domain constant set).
+    In-place ops on a single working copy — one allocation per call."""
+    z = z + np.uint64(0x9E3779B97F4A7C15)  # the only new array
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
 
 
 def perm_seeds(num_perm: int, seed: int) -> np.ndarray:
@@ -72,7 +76,8 @@ def shingle_window_hashes(
     nwin = max(n - k + 1, 0)
     H = np.zeros(nwin, dtype=np.uint64)
     for j in range(k):
-        H = H * _POLY_B + buf[j : j + nwin]
+        H *= _POLY_B
+        H += buf[j : j + nwin]
     H = _splitmix64(H)
     starts = np.zeros(len(blobs), dtype=np.int64)
     if len(blobs) > 1:
@@ -87,16 +92,17 @@ def shingle_window_hashes(
     return H, starts, counts
 
 
-def minhash_batch(
-    texts: "pd.Series | list[str]", k: int, num_perm: int, seed: int
+def kperm_signatures(
+    H: np.ndarray, starts: np.ndarray, counts: np.ndarray, num_perm: int, seed: int
 ) -> np.ndarray:
-    """(n_rows, num_perm) int64 signature matrix for a batch."""
-    H, starts, counts = shingle_window_hashes(texts, k)
+    """Classic k-permutation MinHash: num_perm passes over all shingles.
+    O(shingles x num_perm) — the textbook estimator, kept for
+    cross-checks; the default signer is `oph_signatures` below."""
     n_rows = len(starts)
     sig = np.empty((n_rows, num_perm), dtype=np.uint64)
     if len(H) == 0:
         sig[:] = _U64_MAX
-        return sig.view(np.int64)
+        return sig
     seeds = perm_seeds(num_perm, seed)
     clipped = np.minimum(starts, len(H) - 1)  # reduceat needs in-range offsets
     for p in range(num_perm):
@@ -104,7 +110,71 @@ def minhash_batch(
         y[H == _U64_MAX] = _U64_MAX  # junk windows stay junk post-permutation
         sig[:, p] = np.minimum.reduceat(y, clipped)
     sig[counts == 0, :] = _U64_MAX  # rows too short to have any shingle
-    return sig.view(np.int64)
+    return sig
+
+
+def oph_signatures(
+    H: np.ndarray, starts: np.ndarray, counts: np.ndarray, num_perm: int, seed: int
+) -> np.ndarray:
+    """One-permutation hashing with rotation densification
+    (Li/Owen/Zhang 2012; Shrivastava/Li 2014): ONE pass over the
+    shingles — each shingle is routed to bin (hash mod num_perm) and the
+    per-bin minimum is the sketch; empty bins borrow (re-mixed) values
+    from the nearest non-empty bin to the left, circularly.
+    O(shingles + rows x num_perm) instead of O(shingles x num_perm):
+    ~100x less compute at num_perm=128, the difference between a
+    memory-bandwidth-bound signer and a CPU-bound one at 100 TB.
+    """
+    n_rows = len(starts)
+    M = np.full((n_rows, num_perm), _U64_MAX, dtype=np.uint64)
+    if len(H):
+        valid = H != _U64_MAX
+        seg_lens = np.diff(np.append(starts, len(H)))
+        row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), seg_lens)
+        seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        y = _splitmix64(H ^ seed_mix)
+        bins = (y % np.uint64(num_perm)).astype(np.int64)
+        vals = _splitmix64(y)
+        flat = row_idx[valid] * num_perm + bins[valid]
+        v = vals[valid]
+        order = np.argsort(flat, kind="stable")
+        fs, vs = flat[order], v[order]
+        boundaries = np.empty(len(fs), dtype=bool)
+        if len(fs):
+            boundaries[0] = True
+            boundaries[1:] = fs[1:] != fs[:-1]
+            first = np.nonzero(boundaries)[0]
+            M.ravel()[fs[first]] = np.minimum.reduceat(vs, first)
+    # rotation densification: empty bins take the nearest filled bin to
+    # the left (circular), value re-mixed with the bin index so borrowed
+    # equality still implies source equality and nothing else
+    nonempty = M != _U64_MAX
+    any_row = nonempty.any(axis=1)
+    idx = np.where(nonempty, np.arange(num_perm, dtype=np.int64), -1)
+    ff = np.maximum.accumulate(idx, axis=1)
+    last = ff[:, -1]  # per-row last non-empty bin (circular wrap source)
+    src = np.where(ff >= 0, ff, last[:, None])
+    src = np.maximum(src, 0)  # all-empty rows: dummy index, masked below
+    rows = np.arange(M.shape[0])[:, None]
+    borrowed = _splitmix64(
+        M[rows, src] ^ (np.arange(num_perm, dtype=np.uint64) + np.uint64(1)) * _P_MIX
+    )
+    M = np.where(nonempty, M, borrowed)
+    M[~any_row, :] = _U64_MAX  # rows with zero shingles stay empty
+    return M
+
+
+_P_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def minhash_batch(
+    texts: "pd.Series | list[str]", k: int, num_perm: int, seed: int,
+    scheme: str = "oph",
+) -> np.ndarray:
+    """(n_rows, num_perm) int64 signature matrix for a batch."""
+    H, starts, counts = shingle_window_hashes(texts, k)
+    fn = oph_signatures if scheme == "oph" else kperm_signatures
+    return fn(H, starts, counts, num_perm, seed).view(np.int64)
 
 
 def band_hashes_from_sig(sig: np.ndarray, bands: int, seed: int) -> np.ndarray:
@@ -139,15 +209,26 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema) \
         + ", n_shingles int, band_hash array<bigint>"
     k, num_perm, bands, seed = cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.seed
+    # CPU-bound Python stage: AQE coalesces by BYTES and would starve it
+    # down to a few cores — fan back out to the full parallelism first.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     def gen(it):
         for pdf in it:
             texts = pdf["content_norm"].fillna("")
-            sig = minhash_batch(texts, k, num_perm, seed)
+            H, starts, counts = shingle_window_hashes(texts, k)
+            sig = oph_signatures(H, starts, counts, num_perm, seed).view(np.int64)
             bh = band_hashes_from_sig(sig, bands, seed)
-            lens = texts.str.encode("utf-8").str.len().to_numpy()
+            n_unique = np.fromiter(
+                (
+                    len(np.unique(H[starts[i] : starts[i] + counts[i]]))
+                    for i in range(len(starts))
+                ),
+                dtype=np.int32,
+                count=len(starts),
+            )
             pdf = pdf.copy()
-            pdf["n_shingles"] = np.maximum(lens - k + 1, 0).astype(np.int32)
+            pdf["n_shingles"] = n_unique  # distinct shingles: exact |set|
             pdf["band_hash"] = list(bh)
             yield pdf
 

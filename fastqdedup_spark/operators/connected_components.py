@@ -37,10 +37,11 @@ def connected_components(
     columns — use sha256 strings or long ids; strings stay
     collision-free at 10^12 rows where 64-bit hashes would not).
     """
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    sym = sym.repartition("dst").persist()
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         sym.select(F.col("dst").alias("id"))
@@ -60,18 +61,20 @@ def connected_components(
             .agg(F.min("label").alias("cand"))
             .select(F.col("dst").alias("id"), "cand")
         )
-        joined = labels.join(candidates, "id", "left")
-        new_labels = joined.select(
-            "id", F.least(F.col("label"), F.coalesce("cand", "label")).alias("label")
-        ).localCheckpoint(eager=True)
-        changed = (
-            joined.filter(F.col("cand") < F.col("label"))
-            .select("id", F.col("cand").alias("label"))
+        # one materialization per round carries BOTH the new labels and
+        # the change flag; the change count and next frontier are then
+        # cheap scans of the checkpointed result
+        new = (
+            labels.join(candidates, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
+                (F.col("cand") < F.col("label")).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed.isEmpty():
+        labels = new.select("id", "label")
+        frontier = new.filter("changed").select("id", "label")
+        if new.filter("changed").limit(1).isEmpty():
             break
-        frontier = changed
-    sym.unpersist()
     return labels.withColumnRenamed("label", "cluster_id"), rounds

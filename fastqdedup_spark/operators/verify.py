@@ -46,24 +46,41 @@ def verify_pairs_distance(
 def make_jaccard_udf(k: int):
     """Exact Jaccard over char-k-gram shingle sets of two text columns.
 
-    Shingle hashing is batch-vectorized (one buffer pass per column via
-    functions.minhash.shingle_window_hashes); the per-pair set
-    intersection uses numpy set ops on the hashed shingles.
+    Batch optimizations (hub documents appear in MANY candidate pairs —
+    the hot-band skew shape):
+    - texts are factorized per Arrow batch, so each distinct document's
+      shingle set is hashed and uniqued ONCE per batch, not once per pair;
+    - intersections run via searchsorted on the pre-sorted unique arrays
+      (no allocation, no re-sort) — the vectorized analog of the
+      reference's fast-fail compare loop (distances.h:24-27).
     """
 
     @F.pandas_udf(T.DoubleType())
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        ha, sa, ca = shingle_window_hashes(a.fillna(""), k)
-        hb, sb, cb = shingle_window_hashes(b.fillna(""), k)
-        out = np.zeros(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            xs = np.unique(ha[sa[i] : sa[i] + ca[i]])
-            ys = np.unique(hb[sb[i] : sb[i] + cb[i]])
-            if not len(xs) and not len(ys):
+        both = pd.concat([a.fillna(""), b.fillna("")], ignore_index=True)
+        codes, uniques = pd.factorize(both)
+        H, starts, counts = shingle_window_hashes(list(uniques), k)
+        sets = [
+            np.unique(H[starts[i] : starts[i] + counts[i]])
+            for i in range(len(uniques))
+        ]
+        n = len(a)
+        ca, cb = codes[:n], codes[n:]
+        out = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            xs, ys = sets[ca[i]], sets[cb[i]]
+            nx, ny = len(xs), len(ys)
+            if not nx and not ny:
                 out[i] = 1.0  # both empty: identical
                 continue
-            inter = len(np.intersect1d(xs, ys, assume_unique=True))
-            out[i] = inter / (len(xs) + len(ys) - inter)
+            if not nx or not ny:
+                continue
+            if nx > ny:
+                xs, ys, nx, ny = ys, xs, ny, nx
+            idx = np.searchsorted(ys, xs)
+            idx[idx == ny] = ny - 1
+            inter = int(np.count_nonzero(ys[idx] == xs))
+            out[i] = inter / (nx + ny - inter)
         return pd.Series(out)
 
     return _udf
@@ -72,11 +89,42 @@ def make_jaccard_udf(k: int):
 def verify_pairs_jaccard(
     pairs: DataFrame, contents: DataFrame, cfg: DedupConfig,
     id_col: str = "sha", content_col: str = "content_norm",
+    size_col: str | None = "n_shingles",
 ) -> DataFrame:
     """Code-domain verification: exact Jaccard >= threshold on
-    normalized content. Returns (id_a, id_b, jaccard)."""
+    normalized content. Returns (id_a, id_b, jaccard).
+
+    When `size_col` (distinct-shingle counts from the signature stage)
+    is available, pairs are pruned JVM-side BEFORE content ships to
+    Python using the exact bound jaccard(A,B) <= min(|A|,|B|) /
+    max(|A|,|B|) — a true upper bound, so the surviving pair set is
+    identical, but skewed candidate floods (boilerplate bands) shrink
+    inside whole-stage codegen."""
     jac = make_jaccard_udf(cfg.shingle_k)
-    withv = _attach_pair_values(pairs, contents, id_col, content_col)
+    have_sizes = size_col is not None and size_col in contents.columns
+    if have_sizes:
+        sa = contents.select(
+            F.col(id_col).alias("id_a"), F.col(size_col).alias("sz_a")
+        )
+        sb = contents.select(
+            F.col(id_col).alias("id_b"), F.col(size_col).alias("sz_b")
+        )
+        pairs = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(
+                (F.greatest("sz_a", "sz_b") == 0)
+                | (
+                    F.least("sz_a", "sz_b")
+                    >= cfg.jaccard_threshold * F.greatest("sz_a", "sz_b")
+                )
+            )
+            .select("id_a", "id_b")
+        )
+    withv = _attach_pair_values(pairs, contents.select(id_col, content_col), id_col, content_col)
+    # CPU-bound verify: fan out to full parallelism (AQE's byte-based
+    # coalescing would run the pair kernel on a handful of cores)
+    withv = withv.repartition(withv.sparkSession.sparkContext.defaultParallelism)
     return (
         withv.withColumn("jaccard", jac("value_a", "value_b"))
         .filter(F.col("jaccard") >= cfg.jaccard_threshold)

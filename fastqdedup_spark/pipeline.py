@@ -79,7 +79,8 @@ def dedup_keys(
         ),
     )
     gen = deletion_candidate_pairs if cfg.use_edit_distance else pigeonhole_candidate_pairs
-    pairs, band_metrics = gen(counted, cfg)
+    pairs_lazy, band_metrics = gen(counted, cfg)
+    pairs = ck.stage("pairs", lambda: pairs_lazy)
     edges = ck.stage(
         "edges", lambda: verify_pairs_distance(pairs, counted, cfg)
     )
@@ -140,11 +141,12 @@ def dedup_files(
             cfg,
         ),
     )
-    pairs, band_metrics = minhash_candidate_pairs(signed, cfg, id_col="sha")
+    pairs_lazy, band_metrics = minhash_candidate_pairs(signed, cfg, id_col="sha")
+    pairs = ck.stage("pairs", lambda: pairs_lazy)
     edges = ck.stage(
         "edges",
         lambda: verify_pairs_jaccard(
-            pairs, signed.select("sha", "content_norm"), cfg, id_col="sha"
+            pairs, signed.select("sha", "content_norm", "n_shingles"), cfg, id_col="sha"
         ),
     )
     labels, rounds = connected_components(
