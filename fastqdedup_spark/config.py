@@ -22,6 +22,7 @@ class DedupConfig:
     num_perm: int = 128             # MinHash signature length
     bands: int = 32                 # LSH bands (rows = num_perm // bands)
     jaccard_threshold: float = 0.8  # verify-stage exact Jaccard cutoff
+    est_margin: float = 0.2         # JVM est-Jaccard prefilter: keep est >= threshold - margin (0 disables)
     # -- reference-parity mode (fixed-length keys, Hamming/edit radius) ----
     max_distance: int = 1           # ref default: __init__.py:37
     use_edit_distance: bool = False

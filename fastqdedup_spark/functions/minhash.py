@@ -207,7 +207,7 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         df = df.withColumn("content_norm", normalize_content("content"))
         in_cols = df.columns
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema) \
-        + ", n_shingles int, band_hash array<bigint>"
+        + ", n_shingles int, band_hash array<bigint>, sig_packed array<bigint>"
     k, num_perm, bands, seed = cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.seed
     # CPU-bound Python stage: AQE coalesces by BYTES and would starve it
     # down to a few cores — fan back out to the full parallelism first.
@@ -227,9 +227,17 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
                 dtype=np.int32,
                 count=len(starts),
             )
+            # pack the low byte of every bin: 128 bins -> 16 longs. The
+            # est-Jaccard prefilter compares bins bytewise (1/256 false
+            # byte-match bias, absorbed by the margin) at 1/8 the
+            # shuffle weight of full 64-bit signatures.
+            low = (sig.view(np.uint64) & np.uint64(0xFF)).astype(np.uint8)
+            packed = low.reshape(len(pdf), num_perm // 8, 8).copy().view(np.uint64)
+            packed = packed.reshape(len(pdf), num_perm // 8).view(np.int64)
             pdf = pdf.copy()
             pdf["n_shingles"] = n_unique  # distinct shingles: exact |set|
             pdf["band_hash"] = list(bh)
+            pdf["sig_packed"] = list(packed)
             yield pdf
 
     return df.mapInPandas(gen, out_schema)

@@ -101,6 +101,43 @@ def verify_pairs_jaccard(
     identical, but skewed candidate floods (boilerplate bands) shrink
     inside whole-stage codegen."""
     jac = make_jaccard_udf(cfg.shingle_k)
+    # Checkpointed/UDF-produced frames carry no Catalyst statistics, so
+    # AQE cannot see that the contents side is broadcast-able and would
+    # shuffle the (potentially huge, skew-flooded) pair table through a
+    # sort-merge join. Decide explicitly from an actual count.
+    contents = contents.persist()  # count + three joins below reuse it
+    bcast = contents.count() <= 5_000_000
+    hint = F.broadcast if bcast else (lambda df: df)
+    # Estimated-Jaccard pre-filter (JVM-side, whole-stage codegen): the
+    # semantic-skew pair flood (boilerplate headers -> quadratically many
+    # j~0.2 candidates) dies here before any content or Python is
+    # touched. The margin makes false drops statistically negligible
+    # (~4.6 sigma at j == threshold with 128 bins, P ~ 2e-6); the exact
+    # UDF below keeps precision exact.
+    if "sig_packed" in contents.columns and cfg.est_margin > 0:
+        n_words = cfg.num_perm // 8
+        ga = contents.select(F.col(id_col).alias("id_a"), F.col("sig_packed").alias("sig_a"))
+        gb = contents.select(F.col(id_col).alias("id_b"), F.col("sig_packed").alias("sig_b"))
+        # matching-bin count via per-byte shift-compare on the packed
+        # longs: a flat codegen expression, no arrays dereferenced twice,
+        # no overflow-sensitive bit tricks (ANSI-safe)
+        matches = F.lit(0)
+        for w in range(n_words):
+            xa = F.element_at("sig_a", w + 1)
+            xb = F.element_at("sig_b", w + 1)
+            for byte in range(8):
+                sh = 8 * byte
+                matches = matches + (
+                    F.shiftrightunsigned(xa, sh).bitwiseAND(F.lit(255))
+                    == F.shiftrightunsigned(xb, sh).bitwiseAND(F.lit(255))
+                ).cast("int")
+        min_matches = int((cfg.jaccard_threshold - cfg.est_margin) * cfg.num_perm)
+        pairs = (
+            pairs.join(hint(ga), "id_a")
+            .join(hint(gb), "id_b")
+            .filter(matches >= min_matches)
+            .select("id_a", "id_b")
+        )
     have_sizes = size_col is not None and size_col in contents.columns
     if have_sizes:
         sa = contents.select(
@@ -110,8 +147,8 @@ def verify_pairs_jaccard(
             F.col(id_col).alias("id_b"), F.col(size_col).alias("sz_b")
         )
         pairs = (
-            pairs.join(sa, "id_a")
-            .join(sb, "id_b")
+            pairs.join(hint(sa), "id_a")
+            .join(hint(sb), "id_b")
             .filter(
                 (F.greatest("sz_a", "sz_b") == 0)
                 | (
@@ -121,7 +158,8 @@ def verify_pairs_jaccard(
             )
             .select("id_a", "id_b")
         )
-    withv = _attach_pair_values(pairs, contents.select(id_col, content_col), id_col, content_col)
+    cvals = contents.select(id_col, content_col)
+    withv = _attach_pair_values(pairs, hint(cvals) if bcast else cvals, id_col, content_col)
     # CPU-bound verify: fan out to full parallelism (AQE's byte-based
     # coalescing would run the pair kernel on a handful of cores)
     withv = withv.repartition(withv.sparkSession.sparkContext.defaultParallelism)

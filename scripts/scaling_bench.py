@@ -1,0 +1,73 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+No real multi-executor cluster exists in this sandbox, so the
+north_rule's N -> 4N criterion is evidenced by running the IDENTICAL
+pipeline on the IDENTICAL input at local[8] and local[32] in separate
+JVMs and reporting throughput at both plus
+scaling efficiency = throughput(32) / (4 x throughput(8)).
+
+Usage: python scripts/scaling_bench.py [n_files]   (default 24000)
+Child mode (internal): python scripts/scaling_bench.py --child <cores> <n_files>
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def child(cores: int, n_files: int) -> None:
+    import time
+
+    from fastqdedup_spark.config import DedupConfig
+    from fastqdedup_spark.corpus import generate_files
+    from fastqdedup_spark.pipeline import dedup_files
+    from fastqdedup_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    files = generate_files(spark, n_files, seed=42).cache()
+    files.count()
+    # warm python workers so worker spin-up isn't measured as scaling loss
+    spark.range(cores * 10).repartition(cores).mapInPandas(lambda it: it, "id long").count()
+    cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
+    best = None
+    for _ in range(2):  # two trials, report the better (steady-state)
+        t0 = time.monotonic()
+        res = dedup_files(spark, files, cfg, quality=False, collect_metrics=False)
+        n_out = res.deduped.count()
+        dt = time.monotonic() - t0
+        best = min(best, dt) if best else dt
+    print(json.dumps({"cores": cores, "n_files": n_files, "sec": round(best, 2),
+                      "files_per_sec": round(n_files / best, 1), "files_out": n_out}))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--child", str(cores), str(n_files)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line)
+    tp8 = results[8]["files_per_sec"]
+    tp32 = results[32]["files_per_sec"]
+    eff = tp32 / (4 * tp8)
+    print(json.dumps({
+        "throughput_local8": tp8,
+        "throughput_local32": tp32,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""MinHash/OPH signer unit tests (no Spark needed)."""
+
+import numpy as np
+import pytest
+
+from fastqdedup_spark.functions.minhash import (
+    band_hashes_from_sig,
+    kperm_signatures,
+    minhash_batch,
+    oph_signatures,
+    shingle_set,
+    shingle_window_hashes,
+)
+
+T1 = "the quick brown fox jumps over the lazy dog " * 10
+T2 = T1.replace("lazy", "hazy")
+T3 = "completely different content about spark shuffles and parquet " * 8
+
+
+def true_jaccard(a, b, k=7):
+    sa, sb = shingle_set(a, k), shingle_set(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_identical_texts_identical_signatures():
+    sig = minhash_batch([T1, T2, T1], 7, 128, 42)
+    assert (sig[0] == sig[2]).all()
+    assert not (sig[0] == sig[1]).all()
+
+
+def test_batch_split_invariance():
+    joint = minhash_batch([T1, T2, T3], 7, 128, 42)
+    for i, t in enumerate([T1, T2, T3]):
+        solo = minhash_batch([t], 7, 128, 42)
+        assert (joint[i] == solo[0]).all()
+
+
+def test_estimate_tracks_true_jaccard():
+    sig = minhash_batch([T1, T2, T3], 7, 128, 42)
+    est12 = (sig[0] == sig[1]).mean()
+    est13 = (sig[0] == sig[2]).mean()
+    assert abs(est12 - true_jaccard(T1, T2)) < 0.2
+    assert est13 < 0.05 and true_jaccard(T1, T3) < 0.05
+
+
+def test_oph_vs_kperm_consistency():
+    """Both schemes must agree on extremes: identical -> all-equal,
+    disjoint -> (almost) none equal."""
+    H, s, c = shingle_window_hashes([T1, T1, T3], 7)
+    for fn in (oph_signatures, kperm_signatures):
+        sig = fn(H, s, c, 128, 42)
+        assert (sig[0] == sig[1]).all()
+        assert (sig[0] == sig[2]).mean() < 0.05
+
+
+def test_empty_and_short_rows():
+    sig = minhash_batch(["", "abc", T1], 7, 128, 42)  # "abc" shorter than k
+    u = sig.view(np.uint64)
+    assert (u[0] == 0xFFFFFFFFFFFFFFFF).all()
+    assert (u[1] == 0xFFFFFFFFFFFFFFFF).all()
+    assert not (u[2] == 0xFFFFFFFFFFFFFFFF).all()
+
+
+def test_band_hashes_deterministic_and_band_salted():
+    sig = minhash_batch([T1, T1], 7, 128, 42)
+    bh = band_hashes_from_sig(sig, 32, 42)
+    assert (bh[0] == bh[1]).all()
+    # identical values in different band positions must not collide
+    assert len(np.unique(bh[0])) == 32
+
+
+def test_shingle_set_excludes_boundary_junk():
+    s1 = shingle_set("abcdefghij", 7)
+    assert len(s1) == 4  # 10 - 7 + 1
+    joint_H, starts, counts = shingle_window_hashes(["abcdefghij", "zzzzzzzzzz"], 7)
+    assert counts.tolist() == [4, 4]
+    # row 0's shingles unchanged by the following row
+    assert set(joint_H[:4].tolist()) == s1
