@@ -13,8 +13,11 @@ Child mode (internal): python scripts/scaling_bench.py --child <cores> <n_files>
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def child(cores: int, n_files: int) -> None:

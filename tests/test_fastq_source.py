@@ -1,0 +1,106 @@
+"""FASTQ source, slice projection, and full reference-CLI-equivalent
+pipeline tests (reference O1/O2/O3/O4 + end-to-end)."""
+
+import gzip
+
+import pytest
+
+from fastqdedup_spark.config import DedupConfig
+from fastqdedup_spark.functions.slices import key_projection, length_string_to_slices
+from fastqdedup_spark.sources.fastq import deduplicate_fastq, read_fastq, zip_fastq
+
+
+# slice parsing: the reference's parametrized cases
+# (/root/reference/tests/test_fastqdedup.py:27-34)
+@pytest.mark.parametrize(
+    "string,result",
+    [
+        ("5,6,7", [slice(5), slice(6), slice(7)]),
+        ("5:8,3,-5:3:-1", [slice(5, 8), slice(3), slice(-5, 3, -1)]),
+        ("None:None:16", [slice(None, None, 16)]),
+        ("::16", [slice(None, None, 16)]),
+    ],
+)
+def test_length_string_to_slices(string, result):
+    assert length_string_to_slices(string) == result
+
+
+def _write_fastq(path, records, compress=False):
+    text = "".join(f"@{n}\n{s}\n+\n{q}\n" for n, s, q in records)
+    data = text.encode()
+    if compress:
+        data = gzip.compress(data)
+    path.write_bytes(data)
+
+
+R1 = [
+    ("read1/1", "ACGTACGT", "IIIIIIII"),
+    ("read2/1", "ACGTACGA", "IIIIIIII"),
+    ("read3/1", "TTTTCCCC", "IIIIIIII"),
+    ("read4/1", "ACGTACGT", "IIIIIIII"),  # exact dup of read1
+    ("read5/1", "GGGGGGGG", "!!!!!!!!"),  # terrible quality
+]
+R2 = [
+    ("read1/2", "CCCCAAAA", "IIIIIIII"),
+    ("read2/2", "CCCCAAAT", "IIIIIIII"),
+    ("read3/2", "GGGGAAAA", "IIIIIIII"),
+    ("read4/2", "CCCCAAAA", "IIIIIIII"),
+    ("read5/2", "AAAAAAAA", "IIIIIIII"),
+]
+
+
+def test_read_fastq_plain_and_gz(spark, tmp_path):
+    _write_fastq(tmp_path / "a.fastq", R1)
+    _write_fastq(tmp_path / "b.fastq.gz", R1, compress=True)
+    for fname in ("a.fastq", "b.fastq.gz"):
+        df = read_fastq(spark, str(tmp_path / fname))
+        rows = sorted(df.collect(), key=lambda r: r.record_idx)
+        assert [(r.name, r.sequence, r.qualities) for r in rows] == R1
+
+
+def test_zip_validates_mates(spark, tmp_path):
+    _write_fastq(tmp_path / "r1.fastq", R1)
+    _write_fastq(tmp_path / "r2.fastq", R2)
+    t1 = read_fastq(spark, str(tmp_path / "r1.fastq"))
+    t2 = read_fastq(spark, str(tmp_path / "r2.fastq"))
+    zipped = zip_fastq([t1, t2])
+    assert zipped.count() == 5
+    bad = [("OTHER/2", "ACGT", "IIII")] + R2[1:]
+    _write_fastq(tmp_path / "bad.fastq", bad)
+    tbad = read_fastq(spark, str(tmp_path / "bad.fastq"))
+    with pytest.raises(ValueError, match="not mates"):
+        zip_fastq([t1, tbad])
+
+
+def test_key_projection_slices(spark):
+    df = spark.createDataFrame([("ABCDEFGH", "12345678")], "s1 string, s2 string")
+    cases = {
+        "3,2": "ABC12",
+        "5": "ABCDE12345678",   # second column passes through whole
+        "::2,1:4": "ACEG234",
+        "-3:,:2": "FGH12",
+    }
+    for spec, want in cases.items():
+        got = df.select(
+            key_projection(["s1", "s2"], length_string_to_slices(spec)).alias("k")
+        ).collect()[0].k
+        assert got == want, spec
+
+
+def test_deduplicate_fastq_end_to_end(spark, tmp_path):
+    """Full reference-CLI equivalent: quality filter + paired dedup at
+    Hamming d=1 with directional dissection."""
+    _write_fastq(tmp_path / "r1.fastq.gz", R1, compress=True)
+    _write_fastq(tmp_path / "r2.fastq.gz", R2, compress=True)
+    t1 = read_fastq(spark, str(tmp_path / "r1.fastq.gz"))
+    t2 = read_fastq(spark, str(tmp_path / "r2.fastq.gz"))
+    cfg = DedupConfig(max_distance=1, dissection="directional")
+    out = deduplicate_fastq(spark, [t1, t2], cfg)
+    rows = sorted(out.collect(), key=lambda r: r.record_idx)
+    names = [r.name_0 for r in rows]
+    # read5 quality-filtered; read1+read4 exact dups (first wins);
+    # read2's combined key is Hamming-2 from read1's (1 per mate), so at
+    # d=1 it survives as its own cluster; read3 distinct.
+    assert names == ["read1/1", "read2/1", "read3/1"]
+    # paired columns intact
+    assert rows[0].sequence_1 == "CCCCAAAA"
