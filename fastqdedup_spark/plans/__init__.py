@@ -21,13 +21,15 @@ def plan_audit(df: DataFrame) -> dict:
     """Counts the plan features we optimize for: exchanges (shuffles),
     whole-stage-codegen spans, pushed filters, broadcast joins."""
     plan = formatted_plan(df)
+    # nodes print once in the tree and once in the detail section; count
+    # only the numbered detail headers
     return {
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "pushed_filters": "PushedFilters: \\[\\]" not in plan
         and "PushedFilters" in plan,
-        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
-        "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "broadcast_joins": len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)),
+        "sort_merge_joins": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
     }
 
 
