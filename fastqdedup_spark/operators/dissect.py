@@ -39,13 +39,18 @@ def dissect_clusters(
     max_distance: int = 1,
     use_edit_distance: bool = False,
     max_cluster_size: int = 100_000,
+    within=None,
 ) -> DataFrame:
-    """clusters: (cluster_id, key, cnt) -> survivors (cluster_id, key).
+    """clusters: (cluster_id, key, cnt[, cmp]) -> survivors
+    (cluster_id, key).
 
-    `key` is the comparison unit (the raw key in parity mode, the
-    normalized content in code mode); `cnt` is the exact-duplicate
-    multiplicity (P9 pre-aggregation: the trie collapses duplicates
-    before clustering, _triemodule.c:233-239 — we groupBy upstream).
+    `key` is the survivor identity; the optional `cmp` column is what
+    the radius predicate compares (parity mode: key itself; code mode:
+    normalized content while key stays the sha). `cnt` is the
+    exact-duplicate multiplicity (P9 pre-aggregation: the trie collapses
+    duplicates before clustering, _triemodule.c:233-239 — we groupBy
+    upstream). `within` overrides the Hamming/edit predicate (e.g.
+    oracle.jaccard_within for the code domain).
     """
     if method == "highest_count":
         # survivor = max (cnt, key) tuple per cluster; ties -> greatest key
@@ -58,6 +63,7 @@ def dissect_clusters(
         raise ValueError(f"unknown dissection method: {method}")
 
     kernel = CLUSTER_DISSECTION_METHODS[method]
+    has_cmp = "cmp" in clusters.columns
 
     # split mega-clusters off to the aggregate fallback
     sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_csize"))
@@ -67,7 +73,10 @@ def dissect_clusters(
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         cluster = list(zip(pdf["cnt"].tolist(), pdf["key"].tolist()))
-        survivors = list(kernel(cluster, max_distance, use_edit_distance))
+        cmp = pdf["cmp"].tolist() if has_cmp else None
+        survivors = list(
+            kernel(cluster, max_distance, use_edit_distance, cmp=cmp, within=within)
+        )
         return pd.DataFrame(
             {"cluster_id": pdf["cluster_id"].iloc[0], "key": survivors}
         )

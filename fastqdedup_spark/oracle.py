@@ -105,10 +105,37 @@ def oracle_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 Cluster = List[Tuple[int, str]]
+WithinFn = Callable[[str, str], bool]
+
+
+def _make_within(
+    max_distance: int, use_edit_distance: bool, within: WithinFn | None
+) -> WithinFn:
+    """Comparison predicate: the reference's Hamming/edit radius by
+    default; the code domain passes a Jaccard predicate instead (the
+    `cmp` values are then normalized contents, not short keys)."""
+    if within is not None:
+        return within
+    return lambda a, b: within_distance(a, b, max_distance, use_edit_distance)
+
+
+def jaccard_within(threshold: float, k: int) -> WithinFn:
+    """Code-domain predicate: exact char-k-gram Jaccard >= threshold."""
+    from fastqdedup_spark.functions.minhash import shingle_set
+
+    def fn(a: str, b: str) -> bool:
+        sa, sb = shingle_set(a, k), shingle_set(b, k)
+        if not sa and not sb:
+            return True
+        inter = len(sa & sb)
+        return inter / (len(sa) + len(sb) - inter) >= threshold
+
+    return fn
 
 
 def cluster_dissection_highest_count(
-    cluster: Cluster, max_distance: int = 1, use_edit_distance: bool = False
+    cluster: Cluster, max_distance: int = 1, use_edit_distance: bool = False,
+    cmp: Sequence[str] | None = None, within: WithinFn | None = None,
 ) -> Iterator[str]:
     """Survivor = the (count, key)-max member; ties -> greatest key.
     Ref: __init__.py:94-102."""
@@ -116,23 +143,27 @@ def cluster_dissection_highest_count(
 
 
 def cluster_dissection_adjacency(
-    cluster: Cluster, max_distance: int = 1, use_edit_distance: bool = False
+    cluster: Cluster, max_distance: int = 1, use_edit_distance: bool = False,
+    cmp: Sequence[str] | None = None, within: WithinFn | None = None,
 ) -> Iterator[str]:
     """Repeatedly: survivor = current (count, key)-max; drop everything
-    within radius of it; recurse on the remainder. Ref: __init__.py:105-122."""
-    remaining = sorted(cluster, reverse=True)
+    within radius of it; recurse on the remainder. Ref: __init__.py:105-122.
+
+    `cmp[i]` (default: the key itself) is what the predicate compares —
+    the code domain passes normalized contents while keys stay shas."""
+    wfn = _make_within(max_distance, use_edit_distance, within)
+    cmp = list(cmp) if cmp is not None else [k for _, k in cluster]
+    order = sorted(range(len(cluster)), key=lambda i: cluster[i], reverse=True)
+    remaining = order
     while remaining:
-        _, template = remaining[0]
-        yield template
-        remaining = [
-            item
-            for item in remaining[1:]
-            if not within_distance(template, item[1], max_distance, use_edit_distance)
-        ]
+        t = remaining[0]
+        yield cluster[t][1]
+        remaining = [m for m in remaining[1:] if not wfn(cmp[t], cmp[m])]
 
 
 def cluster_dissection_directional(
-    cluster: Cluster, max_distance: int = 1, use_edit_distance: bool = False
+    cluster: Cluster, max_distance: int = 1, use_edit_distance: bool = False,
+    cmp: Sequence[str] | None = None, within: WithinFn | None = None,
 ) -> Iterator[str]:
     """UMI-tools directional method. Survivor = highest-(count, key)
     member ("origin"); grow its chain: member m is absorbed by any chain
@@ -142,9 +173,12 @@ def cluster_dissection_directional(
 
     Implemented as an explicit frontier queue over an index worklist
     (the reference mutates Python lists in a generator loop)."""
+    wfn = _make_within(max_distance, use_edit_distance, within)
+    cmp = list(cmp) if cmp is not None else [k for _, k in cluster]
     order = sorted(range(len(cluster)), key=lambda i: cluster[i], reverse=True)
     counts = [cluster[i][0] for i in order]
     keys = [cluster[i][1] for i in order]
+    cmps = [cmp[i] for i in order]
     alive = [True] * len(order)
     for start in range(len(order)):
         if not alive[start]:
@@ -157,15 +191,14 @@ def cluster_dissection_directional(
             for m in range(len(order)):
                 if not alive[m]:
                     continue
-                if 2 * counts[m] - 1 <= counts[t] and within_distance(
-                    keys[t], keys[m], max_distance, use_edit_distance
-                ):
+                if 2 * counts[m] - 1 <= counts[t] and wfn(cmps[t], cmps[m]):
                     alive[m] = False
                     frontier.append(m)
 
 
 def cluster_dissection_canonical(
-    cluster: Cluster, max_distance: int = 1, use_edit_distance: bool = False
+    cluster: Cluster, max_distance: int = 1, use_edit_distance: bool = False,
+    cmp: Sequence[str] | None = None, within: WithinFn | None = None,
 ) -> Iterator[str]:
     """Graft-only 'keep-canonical-file' method for the code domain
     (BASELINE.json north_star): exactly one deterministic survivor per

@@ -155,12 +155,22 @@ def dedup_files(
     clusters = ck.stage(
         "clusters", lambda: _fill_singletons(distinct.select("sha", "cnt"), labels, "sha")
     )
-    method = cfg.dissection if cfg.dissection in ("canonical", "highest_count") else "canonical"
+    if cfg.dissection in ("canonical", "highest_count"):
+        surv_input = clusters.select("cluster_id", F.col("sha").alias("key"), "cnt")
+        surv_kwargs = {}
+    else:
+        # directional/adjacency in the code domain: identity stays the
+        # sha, the radius predicate is exact Jaccard on normalized
+        # content (O10/O11 re-grounded; ref __init__.py:60-122)
+        from fastqdedup_spark.oracle import jaccard_within
+
+        surv_input = clusters.select("cluster_id", "sha", "cnt").join(
+            signed.select("sha", F.col("content_norm").alias("cmp")), "sha"
+        ).select("cluster_id", F.col("sha").alias("key"), "cnt", "cmp")
+        surv_kwargs = {"within": jaccard_within(cfg.jaccard_threshold, cfg.shingle_k)}
     survivors = ck.stage(
         "survivors",
-        lambda: dissect_clusters(
-            clusters.select("cluster_id", F.col("sha").alias("key"), "cnt"), method
-        ),
+        lambda: dissect_clusters(surv_input, cfg.dissection, **surv_kwargs),
     )
     # O13 survivor semi-join + first-wins: one surviving FILE per
     # surviving content, deterministic by (repo, path, commit).

@@ -53,8 +53,13 @@ def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     results = {}
     for cores in (8, 32):
+        # pin the whole process tree (JVM, GC, shuffle threads, python
+        # workers) to exactly `cores` CPUs — otherwise a local[8] run
+        # borrows the other 24 cores for GC/python and the comparison
+        # under-reports scaling
         out = subprocess.run(
-            [sys.executable, __file__, "--child", str(cores), str(n_files)],
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
+             "--child", str(cores), str(n_files)],
             capture_output=True, text=True, check=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]

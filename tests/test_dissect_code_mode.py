@@ -1,0 +1,58 @@
+"""Code-domain dissection: directional/adjacency with the Jaccard
+predicate over normalized content (O10/O11 re-grounded)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastqdedup_spark.config import DedupConfig
+from fastqdedup_spark.corpus import generate_files
+from fastqdedup_spark.oracle import (
+    cluster_dissection_directional,
+    jaccard_within,
+)
+from fastqdedup_spark.pipeline import dedup_files
+
+
+def test_jaccard_within_kernel():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "hazy")
+    c = "totally different text about something else entirely " * 5
+    w = jaccard_within(0.5, 7)
+    assert w(a, b) and not w(a, c) and w("", "")
+
+
+def test_directional_with_cmp_indirection():
+    """Keys are opaque ids; the predicate sees the cmp strings."""
+    texts = {
+        "s1": "alpha beta gamma delta " * 10,
+        "s2": "alpha beta gamma delta " * 10 + "epsilon",
+        "s3": "unrelated words entirely here " * 10,
+    }
+    cluster = [(50, "s1"), (1, "s2"), (1, "s3")]
+    cmp = [texts[k] for _, k in cluster]
+    out = set(
+        cluster_dissection_directional(
+            cluster, cmp=cmp, within=jaccard_within(0.5, 7)
+        )
+    )
+    # s2 absorbed by s1 (similar + 2*1-1 <= 50); s3 similar to nothing
+    assert out == {"s1", "s3"}
+
+
+@pytest.mark.parametrize("method", ["directional", "adjacency"])
+def test_pipeline_code_mode_dissection(spark, method):
+    files = generate_files(spark, 160, seed=11).cache()
+    cfg = DedupConfig(
+        shingle_k=7, num_perm=64, bands=16, jaccard_threshold=0.6, dissection=method
+    )
+    res = dedup_files(spark, files, cfg, quality=False, collect_metrics=False)
+    # every cluster yields at least one survivor; survivors' shas exist
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    surv = res.survivors.collect()
+    assert len(surv) >= n_clusters
+    shas = {r.sha for r in res.clusters.collect()}
+    assert all(r.key in shas for r in surv)
+    # exact copies never both survive
+    assert res.deduped.filter(F.col("kind").isin("base", "exact")).groupBy(
+        "family_id"
+    ).count().agg(F.max("count")).collect()[0][0] == 1
