@@ -42,6 +42,14 @@ def connected_components(
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # right-size the loop's parallelism to the graph: duplicate graphs
+    # are usually tiny relative to the corpus, and per-round fixed task
+    # overhead at full parallelism otherwise dominates the iteration
+    # (~50k edges per partition; full parallelism for big graphs)
+    spark = edges.sparkSession
+    n_edges = sym.count()
+    npart = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    sym = sym.repartition(npart, "src").localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("dst").alias("id"))

@@ -36,10 +36,12 @@ from fastqdedup_spark.config import DedupConfig
 
 
 def _pairs_from_bands(
-    bands: DataFrame, id_col: str, cfg: DedupConfig
+    bands: DataFrame, id_col: str, cfg: DedupConfig, prefilter=None
 ) -> tuple[DataFrame, DataFrame]:
     """(id, band_hash) -> distinct (id_a, id_b) with id_a < id_b, plus a
-    one-row metrics DataFrame. The generic tail of all three schemes."""
+    one-row metrics DataFrame. The generic tail of all three schemes.
+    `prefilter` (raw pairs -> pairs) runs BEFORE the distinct, while the
+    pair stream is still map-side."""
     sizes = bands.groupBy("band_hash").agg(F.count(F.lit(1)).alias("band_size"))
     metrics = sizes.agg(
         F.count(F.lit(1)).alias("n_bands"),
@@ -60,13 +62,14 @@ def _pairs_from_bands(
         kept = kept.repartition(cfg.pair_partitions, "band_hash")
     left = kept.select(F.col("band_hash"), F.col(id_col).alias("id_a"))
     right = kept.select(F.col("band_hash"), F.col(id_col).alias("id_b"))
-    pairs = (
+    raw = (
         left.join(right, "band_hash")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
-    return pairs, metrics
+    if prefilter is not None:
+        raw = prefilter(raw)
+    return raw.distinct(), metrics
 
 
 def minhash_candidate_pairs(
@@ -74,10 +77,25 @@ def minhash_candidate_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """`signed` must carry `band_hash: array<bigint>` (from
     functions.minhash.add_signature_columns). Band index is already
-    baked into the hash's high bits, so a flat explode suffices."""
+    baked into the hash's high bits, so a flat explode suffices.
+
+    When `sig_packed` is present, the estimated-Jaccard prefilter runs
+    INSIDE candidate generation — between the band self-join and the
+    pair `distinct` — so the quadratic boilerplate-skew flood is cut
+    map-side before it ever hits a shuffle. Callers should then pass
+    skip_est=True to the verify stage."""
     bands = signed.select(
         F.col(id_col), F.explode("band_hash").alias("band_hash")
     )
+    if "sig_packed" in signed.columns and cfg.est_margin > 0:
+        from fastqdedup_spark.operators.verify import est_prefilter
+
+        sigs = signed.select(id_col, "sig_packed").persist()
+        bcast = sigs.count() <= 5_000_000
+        return _pairs_from_bands(
+            bands, id_col, cfg,
+            prefilter=lambda raw: est_prefilter(raw, sigs, cfg, id_col, bcast),
+        )
     return _pairs_from_bands(bands, id_col, cfg)
 
 

@@ -86,10 +86,51 @@ def make_jaccard_udf(k: int):
     return _udf
 
 
+def est_jaccard_matches(cfg: DedupConfig) -> "F.Column":
+    """Matching-bin count between `sig_a`/`sig_b` packed-sketch columns
+    via per-byte shift-compare on the packed longs: a flat codegen
+    expression, no overflow-sensitive bit tricks (ANSI-safe)."""
+    n_words = cfg.num_perm // 8
+    matches = F.lit(0)
+    for w in range(n_words):
+        xa = F.element_at("sig_a", w + 1)
+        xb = F.element_at("sig_b", w + 1)
+        for byte in range(8):
+            sh = 8 * byte
+            matches = matches + (
+                F.shiftrightunsigned(xa, sh).bitwiseAND(F.lit(255))
+                == F.shiftrightunsigned(xb, sh).bitwiseAND(F.lit(255))
+            ).cast("int")
+    return matches
+
+
+def est_prefilter(
+    pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig,
+    id_col: str, broadcast_sigs: bool,
+) -> DataFrame:
+    """Estimated-Jaccard pre-filter (JVM-side): the semantic-skew pair
+    flood (boilerplate headers -> quadratically many j~0.2 candidates)
+    dies here before any shuffle, content, or Python is touched. The
+    margin makes false drops statistically negligible (~4.6 sigma at
+    j == threshold with 128 bins, P ~ 2e-6); the exact verify UDF keeps
+    precision exact. `sigs` must carry (id_col, sig_packed)."""
+    hint = F.broadcast if broadcast_sigs else (lambda df: df)
+    ga = sigs.select(F.col(id_col).alias("id_a"), F.col("sig_packed").alias("sig_a"))
+    gb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig_packed").alias("sig_b"))
+    min_matches = int((cfg.jaccard_threshold - cfg.est_margin) * cfg.num_perm)
+    return (
+        pairs.join(hint(ga), "id_a")
+        .join(hint(gb), "id_b")
+        .filter(est_jaccard_matches(cfg) >= min_matches)
+        .select("id_a", "id_b")
+    )
+
+
 def verify_pairs_jaccard(
     pairs: DataFrame, contents: DataFrame, cfg: DedupConfig,
     id_col: str = "sha", content_col: str = "content_norm",
     size_col: str | None = "n_shingles",
+    skip_est: bool = False,
 ) -> DataFrame:
     """Code-domain verification: exact Jaccard >= threshold on
     normalized content. Returns (id_a, id_b, jaccard).
@@ -102,43 +143,23 @@ def verify_pairs_jaccard(
     inside whole-stage codegen."""
     jac = make_jaccard_udf(cfg.shingle_k)
     # Checkpointed/UDF-produced frames carry no Catalyst statistics, so
-    # AQE cannot see that the contents side is broadcast-able and would
-    # shuffle the (potentially huge, skew-flooded) pair table through a
-    # sort-merge join. Decide explicitly from an actual count.
-    contents = contents.persist()  # count + three joins below reuse it
-    bcast = contents.count() <= 5_000_000
-    hint = F.broadcast if bcast else (lambda df: df)
-    # Estimated-Jaccard pre-filter (JVM-side, whole-stage codegen): the
-    # semantic-skew pair flood (boilerplate headers -> quadratically many
-    # j~0.2 candidates) dies here before any content or Python is
-    # touched. The margin makes false drops statistically negligible
-    # (~4.6 sigma at j == threshold with 128 bins, P ~ 2e-6); the exact
-    # UDF below keeps precision exact.
-    if "sig_packed" in contents.columns and cfg.est_margin > 0:
-        n_words = cfg.num_perm // 8
-        ga = contents.select(F.col(id_col).alias("id_a"), F.col("sig_packed").alias("sig_a"))
-        gb = contents.select(F.col(id_col).alias("id_b"), F.col("sig_packed").alias("sig_b"))
-        # matching-bin count via per-byte shift-compare on the packed
-        # longs: a flat codegen expression, no arrays dereferenced twice,
-        # no overflow-sensitive bit tricks (ANSI-safe)
-        matches = F.lit(0)
-        for w in range(n_words):
-            xa = F.element_at("sig_a", w + 1)
-            xb = F.element_at("sig_b", w + 1)
-            for byte in range(8):
-                sh = 8 * byte
-                matches = matches + (
-                    F.shiftrightunsigned(xa, sh).bitwiseAND(F.lit(255))
-                    == F.shiftrightunsigned(xb, sh).bitwiseAND(F.lit(255))
-                ).cast("int")
-        min_matches = int((cfg.jaccard_threshold - cfg.est_margin) * cfg.num_perm)
-        pairs = (
-            pairs.join(hint(ga), "id_a")
-            .join(hint(gb), "id_b")
-            .filter(matches >= min_matches)
-            .select("id_a", "id_b")
+    # AQE cannot see which sides are broadcast-able. Small metadata
+    # tables (sketches, sizes) broadcast explicitly; the CONTENT table
+    # never does — building a content broadcast is driver-serial and
+    # dominates the stage, while a shuffled equi-join on id scales.
+    contents = contents.persist()  # count + joins below reuse it
+    bcast_meta = contents.count() <= 5_000_000
+    hint = F.broadcast if bcast_meta else (lambda df: df)
+    if not skip_est and "sig_packed" in contents.columns and cfg.est_margin > 0:
+        pairs = est_prefilter(
+            pairs, contents.select(id_col, "sig_packed"), cfg, id_col, bcast_meta
         )
-    have_sizes = size_col is not None and size_col in contents.columns
+        skip_size_prune = True  # est filter dominates the size bound
+    else:
+        skip_size_prune = skip_est  # prefiltered upstream -> already covered
+    have_sizes = (
+        not skip_size_prune and size_col is not None and size_col in contents.columns
+    )
     if have_sizes:
         sa = contents.select(
             F.col(id_col).alias("id_a"), F.col(size_col).alias("sz_a")
@@ -158,8 +179,9 @@ def verify_pairs_jaccard(
             )
             .select("id_a", "id_b")
         )
-    cvals = contents.select(id_col, content_col)
-    withv = _attach_pair_values(pairs, hint(cvals) if bcast else cvals, id_col, content_col)
+    withv = _attach_pair_values(
+        pairs, contents.select(id_col, content_col), id_col, content_col
+    )
     # CPU-bound verify: fan out to full parallelism (AQE's byte-based
     # coalescing would run the pair kernel on a handful of cores)
     withv = withv.repartition(withv.sparkSession.sparkContext.defaultParallelism)

@@ -146,7 +146,7 @@ def dedup_files(
     edges = ck.stage(
         "edges",
         lambda: verify_pairs_jaccard(
-            pairs, signed.select("sha", "content_norm", "n_shingles", "sig_packed"), cfg, id_col="sha"
+            pairs, signed.select("sha", "content_norm", "n_shingles", "sig_packed"), cfg, id_col="sha", skip_est=True
         ),
     )
     labels, rounds = connected_components(

@@ -36,7 +36,8 @@ def child(cores: int, n_files: int) -> None:
     spark.range(cores * 10).repartition(cores).mapInPandas(lambda it: it, "id long").count()
     cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
     best = None
-    for _ in range(2):  # two trials, report the better (steady-state)
+    trials = 1 if n_files > 100_000 else 2
+    for _ in range(trials):  # report the better (steady-state) trial
         t0 = time.monotonic()
         res = dedup_files(spark, files, cfg, quality=False, collect_metrics=False)
         n_out = res.deduped.count()
