@@ -50,23 +50,55 @@ def _pairs_from_bands(
             "capped_bands"
         ),
     )
-    kept = bands.join(
-        F.broadcast(
-            sizes.filter(
-                (F.col("band_size") > 1) & (F.col("band_size") <= cfg.band_freq_cap)
-            ).select("band_hash")
-        ),
-        "band_hash",
+    eligible = sizes.filter(
+        (F.col("band_size") > 1) & (F.col("band_size") <= cfg.band_freq_cap)
     )
-    if cfg.pair_partitions:
-        kept = kept.repartition(cfg.pair_partitions, "band_hash")
-    left = kept.select(F.col("band_hash"), F.col(id_col).alias("id_a"))
-    right = kept.select(F.col("band_hash"), F.col(id_col).alias("id_b"))
-    raw = (
-        left.join(right, "band_hash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    # Explicit fan-out for the self-join: its INPUT is small (ids +
+    # band hashes) so AQE's byte-based coalescing would collapse it to a
+    # couple of partitions — but the join OUTPUT is quadratic in band
+    # size and the est-prefilter downstream is compute-heavy. A
+    # user-specified partition count is exempt from AQE coalescing.
+    npart = cfg.pair_partitions or bands.sparkSession.sparkContext.defaultParallelism
+    kept = bands.join(F.broadcast(eligible), "band_hash").repartition(
+        npart, "band_hash"
     )
+
+    def self_join(df: DataFrame) -> DataFrame:
+        left = df.select("band_hash", F.col(id_col).alias("id_a"))
+        right = df.select("band_hash", F.col(id_col).alias("id_b"))
+        return (
+            left.join(right, "band_hash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+
+    s = cfg.salt_buckets
+    hot_cut = max(cfg.band_freq_cap // max(s, 1), 64)
+    if s > 1:
+        # explicit hot-band salting (north_rule): bands above `hot_cut`
+        # members split their self-join into bucket pairs — each member
+        # hashes to one of S buckets, the left side replicates once per
+        # partner bucket, and the join key (band, bucket) spreads a band
+        # with f members over S^2 tasks of ~(f/S)^2 work instead of one
+        # f^2 reducer. Small bands keep the plain (cheaper) join.
+        cold = kept.filter(F.col("band_size") <= hot_cut)
+        hot = kept.filter(F.col("band_size") > hot_cut)
+        left = hot.select(
+            "band_hash", F.col(id_col).alias("id_a")
+        ).withColumn("_v", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+        right = hot.select(
+            "band_hash",
+            F.col(id_col).alias("id_b"),
+            F.pmod(F.xxhash64(id_col), F.lit(s)).alias("_v"),
+        )
+        hot_pairs = (
+            left.join(right, ["band_hash", "_v"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        raw = self_join(cold).unionByName(hot_pairs)
+    else:
+        raw = self_join(kept)
     if prefilter is not None:
         raw = prefilter(raw)
     return raw.distinct(), metrics

@@ -139,15 +139,34 @@ def dedup_files(
                 "sha", "cnt", "content_norm"
             ),
             cfg,
-        ),
+        ).withColumn("nid", F.xxhash64("sha")),
     )
-    pairs_lazy, band_metrics = minhash_candidate_pairs(signed, cfg, id_col="sha")
+    # candidate generation runs on compact 64-bit ids, not 64-char shas:
+    # the band self-join's output is quadratic in band size and each row
+    # carries two ids, so id width directly scales the heaviest shuffle.
+    # A 64-bit collision merely creates an extra candidate pair that the
+    # exact verify stage rejects — zero correctness impact.
+    pairs_lazy, band_metrics = minhash_candidate_pairs(signed, cfg, id_col="nid")
     pairs = ck.stage("pairs", lambda: pairs_lazy)
-    edges = ck.stage(
+    edges_nid = ck.stage(
         "edges",
         lambda: verify_pairs_jaccard(
-            pairs, signed.select("sha", "content_norm", "n_shingles", "sig_packed"), cfg, id_col="sha", skip_est=True
+            pairs,
+            signed.select("nid", "content_norm", "n_shingles", "sig_packed"),
+            cfg,
+            id_col="nid",
+            skip_est=True,
         ),
+    )
+    nid_map = signed.select("nid", "sha")
+    edges = (
+        edges_nid.join(
+            F.broadcast(nid_map.withColumnRenamed("nid", "id_a").withColumnRenamed("sha", "sha_a")), "id_a"
+        )
+        .join(
+            F.broadcast(nid_map.withColumnRenamed("nid", "id_b").withColumnRenamed("sha", "sha_b")), "id_b"
+        )
+        .select(F.col("sha_a").alias("id_a"), F.col("sha_b").alias("id_b"))
     )
     labels, rounds = connected_components(
         edges.select("id_a", "id_b"), cfg.cc_max_iterations

@@ -1,0 +1,40 @@
+"""Hot-band salting correctness: the salted bucket-pair self-join must
+produce exactly the same pair set as the plain self-join."""
+
+import pyspark.sql.functions as F
+
+from fastqdedup_spark.config import DedupConfig
+from fastqdedup_spark.operators.lsh import _pairs_from_bands
+
+
+def _band_rows(spark, groups):
+    rows = [(f"id{g}_{i}", hash_ := g * 1000) for g, n in groups for i in range(n)]
+    return spark.createDataFrame(rows, "key string, band_hash long")
+
+
+def test_salted_pairs_equal_plain_pairs(spark):
+    # one hot band (40 members, > hot_cut=64? no -> make cap small), one
+    # small band, one capped band
+    bands = _band_rows(spark, [(1, 150), (2, 3), (3, 500)])
+    plain_cfg = DedupConfig(salt_buckets=1, band_freq_cap=200)
+    salted_cfg = DedupConfig(salt_buckets=4, band_freq_cap=200)
+    plain, _ = _pairs_from_bands(bands, "key", plain_cfg)
+    salted, _ = _pairs_from_bands(bands, "key", salted_cfg)
+    p = {(r.id_a, r.id_b) for r in plain.collect()}
+    q = {(r.id_a, r.id_b) for r in salted.collect()}
+    assert p == q
+    # band 3 (500 members) above the freq cap: contributes nothing
+    assert not any(a.startswith("id3") for a, _ in p)
+    # band 1: 150 members -> C(150,2) pairs; band 2: C(3,2)
+    assert len(p) == 150 * 149 // 2 + 3
+
+
+def test_salting_handles_all_pairs_across_buckets(spark):
+    """Every unordered pair appears exactly once (no dupes before the
+    final distinct, no losses) even when bucket(a) > bucket(b)."""
+    bands = _band_rows(spark, [(7, 80)])
+    cfg = DedupConfig(salt_buckets=3, band_freq_cap=100)
+    pairs, _ = _pairs_from_bands(bands, "key", cfg)
+    rows = pairs.collect()
+    assert len(rows) == 80 * 79 // 2
+    assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
