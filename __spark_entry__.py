@@ -322,6 +322,22 @@ def q18_doc_fingerprint(spark, sf):
     return d.select("doc_id", doc_fingerprint("text").alias("fp"))
 
 
+def q19_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup dedup: embeddings + planted perturbed
+    copies (vec_id + 1,000,000; x -> 1.01x + 0.001), pairs with cosine
+    >= 0.99 — exact block-matmul; oracle recomputes with
+    list_cosine_similarity."""
+    from fastqdedup_spark.operators.similarity import cosine_dup_pairs
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    perturbed = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01 + 0.001).alias("embedding"),
+    )
+    both = e.unionByName(perturbed)
+    return cosine_dup_pairs(both, threshold=0.99).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -342,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_substring_dups": q16_substring_dups,
         "q17_embedding_bucket_ann": q17_embedding_bucket_ann,
         "q18_doc_fingerprint": q18_doc_fingerprint,
+        "q19_embedding_near_dup": q19_embedding_near_dup,
     }
 
 
@@ -517,5 +534,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "q19_embedding_near_dup": """
+            WITH all_vecs AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(embedding, x -> x * 1.01 + 0.001)
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM all_vecs a, all_vecs b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+            ORDER BY id_a, id_b
         """,
     }

@@ -85,6 +85,42 @@ def brute_force_topk(
     )
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with
+    cosine >= threshold, id_a < id_b. Exact.
+
+    Execution: the corpus matrix is collected + broadcast and every
+    partition computes one BLAS block-matmul against it — exact and
+    embarrassingly parallel, correct up to ~1M x small-dim vectors.
+    Beyond that, swap in the `add_sign_bucket` LSH bucket join
+    (approximate) or a tiled cross-join; the output contract is the
+    same."""
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, mn))
+
+    def block(it):
+        all_ids, full = bc.value
+        for pdf in it:
+            bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+            s = bm @ full.T  # (block, corpus)
+            bi, ci = np.nonzero(s >= threshold)
+            a = pdf[id_col].to_numpy()[bi]
+            b = all_ids[ci]
+            keep = a < b
+            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    return corpus.select(id_col, vec_col).mapInPandas(block, "id_a long, id_b long")
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(np.random.SeedSequence([seed, 4242]))
     return rng.standard_normal((dim, n_bits))
