@@ -30,6 +30,7 @@ class DedupConfig:
     dissection: str = "directional"  # directional|adjacency|highest_count|canonical
     # -- skew / scale -------------------------------------------------------
     band_freq_cap: int = 2000       # drop bands with more members (f^2 pair blowup)
+    strip_boilerplate_frac: float = 0.0  # >0: strip lines present in more than this doc fraction before shingling
     salt_buckets: int = 8           # salting factor for hot band shuffle
     pair_partitions: int = 0        # 0 = leave to AQE
     # -- execution ----------------------------------------------------------

@@ -1,0 +1,66 @@
+"""Boilerplate detection & stripping — attacking semantic skew at the
+source instead of managing it downstream.
+
+The hot-band problem (north_rule) exists because license headers and
+generated preambles appear verbatim in a large fraction of files,
+dragging pairwise Jaccard of UNRELATED files up to ~0.2 and flooding
+LSH bands with quadratic junk candidates. The est-prefilter makes that
+flood cheap; this pass makes it small: lines occurring in more than
+`doc_frac` of documents are identified with one aggregation and removed
+from the normalized content before shingling.
+
+Shape: explode lines -> per-line distinct-doc counts (one shuffle,
+partial-aggregated) -> broadcast the (tiny) common-line set -> filter
+each document's lines JVM-side (split + filter + array_join, no UDF).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def common_lines(
+    df: DataFrame, content_col: str = "content", doc_frac: float = 0.2,
+    min_line_chars: int = 8, max_lines: int = 1000,
+) -> DataFrame:
+    """Lines (trimmed) present in more than `doc_frac` of documents.
+    Returns a small DataFrame (line string, n_docs long)."""
+    n_docs = df.count()
+    lines = df.select(
+        F.monotonically_increasing_id().alias("_doc"),
+        F.explode(F.split(F.col(content_col), "\n")).alias("line"),
+    ).select("_doc", F.trim("line").alias("line")).filter(
+        F.length("line") >= min_line_chars
+    )
+    return (
+        lines.distinct()  # count each line once per doc
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > int(doc_frac * n_docs))
+        .orderBy(F.desc("n_docs"))
+        .limit(max_lines)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame, boiler: DataFrame, content_col: str = "content",
+    out_col: str = "content_stripped",
+) -> DataFrame:
+    """Removes every boilerplate line from `content_col` (whole-line,
+    trim-matched). JVM-side: the line set rides a broadcast join into an
+    array_contains filter inside higher-order functions."""
+    lines = [r.line for r in boiler.collect()]
+    if not lines:
+        return df.withColumn(out_col, F.col(content_col))
+    lit_set = F.array(*[F.lit(l) for l in lines])
+    return df.withColumn(
+        out_col,
+        F.array_join(
+            F.filter(
+                F.split(F.col(content_col), "\n"),
+                lambda ln: ~F.array_contains(lit_set, F.trim(ln)),
+            ),
+            "\n",
+        ),
+    )

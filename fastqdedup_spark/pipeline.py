@@ -132,15 +132,31 @@ def dedup_files(
             F.first("content").alias("content"),  # identical per sha
         ),
     )
-    signed = ck.stage(
-        "signatures",
-        lambda: add_signature_columns(
-            distinct.withColumn("content_norm", normalize_content("content")).select(
+    def _build_signatures() -> DataFrame:
+        base = distinct
+        sig_source = "content"
+        if cfg.strip_boilerplate_frac > 0:
+            # semantic-skew source removal: lines shared by more than
+            # strip_boilerplate_frac of documents (license headers,
+            # generated preambles) leave the shingle space entirely, so
+            # unrelated files stop sharing bands. The sha invariant is
+            # untouched — stripping only affects the similarity model.
+            from fastqdedup_spark.operators.boilerplate import (
+                common_lines,
+                strip_boilerplate,
+            )
+
+            boiler = common_lines(distinct, "content", cfg.strip_boilerplate_frac)
+            base = strip_boilerplate(distinct, boiler, "content")
+            sig_source = "content_stripped"
+        return add_signature_columns(
+            base.withColumn("content_norm", normalize_content(sig_source)).select(
                 "sha", "cnt", "content_norm"
             ),
             cfg,
-        ).withColumn("nid", F.xxhash64("sha")),
-    )
+        ).withColumn("nid", F.xxhash64("sha"))
+
+    signed = ck.stage("signatures", _build_signatures)
     # candidate generation runs on compact 64-bit ids, not 64-char shas:
     # the band self-join's output is quadratic in band size and each row
     # carries two ids, so id width directly scales the heaviest shuffle.
