@@ -41,6 +41,8 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--cluster-dissection", default="canonical",
                    choices=["canonical", "highest_count", "adjacency", "directional"])
     p.add_argument("--band-freq-cap", type=int, default=2000)
+    p.add_argument("--strip-boilerplate", type=float, default=0.0, metavar="FRAC",
+                   help="strip lines present in more than FRAC of files before shingling")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--master", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
@@ -59,6 +61,7 @@ def main(argv: list[str] | None = None) -> None:
         use_edit_distance=args.use_edit_distance,
         dissection=args.cluster_dissection,
         band_freq_cap=args.band_freq_cap,
+        strip_boilerplate_frac=args.strip_boilerplate,
         checkpoint_dir=args.checkpoint_dir,
     )
     spark = get_spark(master=args.master)
