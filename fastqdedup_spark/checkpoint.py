@@ -67,11 +67,17 @@ class StageCheckpointer:
             os.path.join(self._path(stage), "_SUCCESS")
         )
 
-    def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
-        """Build-or-load, ALWAYS materialized: parquet when a checkpoint
-        dir is configured (durable resume), eager localCheckpoint
-        otherwise (plan truncation + reuse — without this, every
-        downstream action would recompute the whole upstream DAG)."""
+    def stage(
+        self, name: str, build: Callable[[], DataFrame], fuse: bool = False
+    ) -> DataFrame:
+        """Build-or-load. Materialized by default: parquet when a
+        checkpoint dir is configured (durable resume), eager
+        localCheckpoint otherwise (plan truncation + reuse — without
+        this, every downstream action recomputes the whole upstream
+        DAG). `fuse=True` marks a stage consumed by exactly ONE
+        downstream stage: with no durable dir it stays lazy and fuses
+        into its consumer (one fewer pipeline barrier); with a durable
+        dir it still persists for resume."""
         t0 = time.monotonic()
         if self.has(name):
             df = self.spark.read.parquet(self._path(name))
@@ -81,7 +87,7 @@ class StageCheckpointer:
         if self.base:
             df.write.mode("overwrite").parquet(self._path(name))
             df = self.spark.read.parquet(self._path(name))
-        else:
+        elif not fuse:
             df = df.localCheckpoint(eager=True)
         self.metrics.add(name, "seconds", time.monotonic() - t0)
         return df

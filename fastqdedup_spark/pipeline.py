@@ -163,7 +163,12 @@ def dedup_files(
     # A 64-bit collision merely creates an extra candidate pair that the
     # exact verify stage rejects — zero correctness impact.
     pairs_lazy, band_metrics = minhash_candidate_pairs(signed, cfg, id_col="nid")
-    pairs = ck.stage("pairs", lambda: pairs_lazy)
+    # pairs feeds only the verify stage and edges feed only the CC
+    # sym-checkpoint: both fuse into their consumer (one fewer pipeline
+    # barrier each) — unless metrics mode counts them or a durable
+    # checkpoint dir wants them persisted for resume
+    fuse = not collect_metrics
+    pairs = ck.stage("pairs", lambda: pairs_lazy, fuse=fuse)
     edges_nid = ck.stage(
         "edges",
         lambda: verify_pairs_jaccard(
@@ -173,6 +178,7 @@ def dedup_files(
             id_col="nid",
             skip_est=True,
         ),
+        fuse=fuse,
     )
     nid_map = signed.select("nid", "sha")
     edges = (
