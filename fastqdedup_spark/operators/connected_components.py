@@ -69,15 +69,28 @@ def connected_components(
             .agg(F.min("label").alias("cand"))
             .select(F.col("dst").alias("id"), "cand")
         )
+        propagated = labels.join(candidates, "id", "left").select(
+            "id", F.least(F.col("label"), F.coalesce("cand", "label")).alias("label")
+        )
+        # pointer doubling (label <- label-of-label): collapses chains
+        # exponentially, so convergence is O(log diameter) rounds rather
+        # than O(diameter) — a gradually-mutating near-dup CHAIN would
+        # otherwise outrun any fixed iteration cap and mislabel silently
+        shortcut = propagated.alias("x").join(
+            propagated.select(
+                F.col("id").alias("label"), F.col("label").alias("label2")
+            ).alias("y"),
+            "label",
+            "left",
+        ).select("id", F.least("label", F.coalesce("label2", "label")).alias("label"))
         # one materialization per round carries BOTH the new labels and
         # the change flag; the change count and next frontier are then
         # cheap scans of the checkpointed result
         new = (
-            labels.join(candidates, "id", "left")
+            labels.withColumnRenamed("label", "old")
+            .join(shortcut, "id")
             .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
-                (F.col("cand") < F.col("label")).alias("changed"),
+                "id", "label", (F.col("label") < F.col("old")).alias("changed")
             )
             .localCheckpoint(eager=True)
         )
