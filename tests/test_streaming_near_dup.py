@@ -1,0 +1,55 @@
+"""Stateful streaming near-dup: state persists across restarts (the
+memory sink can't recover state checkpoints, so output goes to parquet
+via foreachBatch)."""
+
+import numpy as np
+
+from fastqdedup_spark.streaming.near_dup import streaming_near_dup
+
+
+def _docs(rng, n, start_id):
+    words = [f"word{i}" for i in range(300)]
+    return [(start_id + i, " ".join(rng.choice(words, 200))) for i in range(n)]
+
+
+def _run_once(spark, src, ck, out_dir):
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    result = streaming_near_dup(stream, max_hamming=6)
+    q = (
+        result.writeStream.foreachBatch(
+            lambda df, _eid: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {
+        r.doc_id: r.dup_of for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_streaming_near_dup_across_restarts(spark, tmp_path):
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    rng = np.random.default_rng(4)
+    batch1 = _docs(rng, 5, 0)
+    spark.createDataFrame(batch1, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    first = _run_once(spark, src, ck, out)
+    assert len(first) == 5
+    assert all(v is None for v in first.values())  # batch 1: all novel
+
+    # restart with new data: a near-dup of doc 0 (one-token edit) and a
+    # novel doc — recovered state must recognize the dup
+    near = batch1[0][1].replace(" word5 ", " swapped ", 1)
+    batch2 = [(100, near)] + _docs(rng, 1, 200)
+    spark.createDataFrame(batch2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    second = _run_once(spark, src, ck, out)
+    assert second.get(100) == 0, f"near-dup not recognized across restart: {second}"
+    assert 200 in second and second[200] is None
+    assert len(second) == 7
