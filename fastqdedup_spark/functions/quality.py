@@ -46,8 +46,13 @@ def average_error_rate_udf(scores: pd.Series) -> pd.Series:
     rates = _SCORE_TO_ERROR_RATE[blob.astype(np.int64) - offset]
     starts = np.zeros(len(scores), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    sums = np.add.reduceat(rates, starts) if len(blob) else np.zeros(len(scores))
-    sums[lens == 0] = 0.0
+    # reduceat only over non-empty rows (a trailing empty row's offset
+    # equals len(rates) and would raise; interior ones corrupt nothing
+    # but keep the handling uniform)
+    sums = np.zeros(len(scores), dtype=np.float64)
+    nonempty = np.nonzero(lens > 0)[0]
+    if len(nonempty):
+        sums[nonempty] = np.add.reduceat(rates, starts[nonempty])
     return pd.Series(sums / np.maximum(lens, 1))
 
 

@@ -64,11 +64,13 @@ def simhash_batch(texts: "pd.Series | list[str]", seed: int = 42) -> np.ndarray:
     signed = bits.astype(np.int32) * 2 - 1  # (n_tokens, 64) in {-1, +1}
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    clipped = np.minimum(starts, len(signed) - 1)
-    sums = np.add.reduceat(signed, clipped, axis=0)
+    # reduceat only over NON-EMPTY rows' starts: empty rows occupy zero
+    # tokens, so clipping their (duplicate/end) offsets would corrupt
+    # the preceding row's segment; scatter the sums back instead
+    nonempty = np.nonzero(counts > 0)[0]
+    sums = np.add.reduceat(signed, starts[nonempty], axis=0)
     packed = np.packbits((sums > 0).astype(np.uint8), axis=1, bitorder="little")
-    out = packed.view(np.uint64).ravel().copy()
-    out[counts == 0] = 0
+    out[nonempty] = packed.view(np.uint64).ravel()
     return out.view(np.int64)
 
 
