@@ -22,7 +22,7 @@ import time
 from fastqdedup_spark.config import DedupConfig
 from fastqdedup_spark.pipeline import dedup_files
 from fastqdedup_spark.session import get_spark
-from fastqdedup_spark.sources import read_files_table, write_table
+from fastqdedup_spark.sources import input_fingerprint, read_files_table, write_table
 
 logger = logging.getLogger("fastqdedup_spark")
 
@@ -49,6 +49,90 @@ def argument_parser() -> argparse.ArgumentParser:
     return p
 
 
+def parity_argument_parser() -> argparse.ArgumentParser:
+    """The reference's exact CLI surface (argument_parser,
+    /root/reference/src/fastqdedup/__init__.py:305-361), Spark-backed."""
+    p = argparse.ArgumentParser(prog="fastqdedup-parity")
+    p.add_argument(
+        "fastq", metavar="FASTQ", nargs="+",
+        help="Forward FASTQ and optional reverse and UMI FASTQ files.",
+    )
+    p.add_argument(
+        "-l", "--check-lengths",
+        help="Comma-separated lengths/slices per file, e.g. '16,8' or '4:8'.",
+    )
+    p.add_argument(
+        "-o", "--output", action="append",
+        help="Output file; repeat once per input file.",
+    )
+    p.add_argument("-p", "--prefix", default="fastqdedup_R",
+                   help="Prefix for default output names.")
+    p.add_argument("-d", "--max-distance", type=int, default=1)
+    p.add_argument("-e", "--max-average-error-rate", type=float, default=0.001)
+    p.add_argument("-E", "--no-average-error-rate-filter",
+                   action="store_const", dest="max_average_error_rate", const=1.0,
+                   help="Do not filter on average per base error rate.")
+    p.add_argument("--edit", action="store_true",
+                   help="Use edit (Levenshtein) distance instead of Hamming.")
+    p.add_argument("-c", "--cluster-dissection-method",
+                   choices=["highest_count", "adjacency", "directional"],
+                   default="directional")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("-q", "--quiet", action="count", default=0)
+    p.add_argument("--master", default=None, help="Spark master (graft-only).")
+    return p
+
+
+def parity_main(argv: list[str] | None = None) -> None:
+    """Reference CLI end-to-end on Spark: read FASTQ file(s) -> zip ->
+    quality filter -> exact-radius cluster -> dissect -> first-wins ->
+    gzipped FASTQ outputs (deduplicate_cluster + main,
+    /root/reference/src/fastqdedup/__init__.py:209-288, 378-412)."""
+    from fastqdedup_spark.functions.slices import length_string_to_slices
+    from fastqdedup_spark.sources.fastq import (
+        deduplicate_fastq,
+        read_fastq,
+        write_fastq,
+    )
+
+    args = parity_argument_parser().parse_args(argv)
+    level = logging.INFO - 10 * (args.verbose - args.quiet)
+    logging.basicConfig(level=level)
+    input_files: list[str] = args.fastq
+    check_slices = (
+        length_string_to_slices(args.check_lengths) if args.check_lengths else None
+    )
+    if check_slices and len(input_files) != len(check_slices):
+        raise ValueError(
+            f"Amount of check lengths ({len(check_slices)}) must be equal to "
+            f"the amount of input files ({len(input_files)}). "
+        )
+    output_files = args.output or [
+        f"{args.prefix}{x}.fastq.gz" for x in range(1, len(input_files) + 1)
+    ]
+    if len(input_files) != len(output_files):
+        raise ValueError(
+            f"Amount of output files ({len(output_files)}) must be equal to "
+            f"the amount of input files ({len(input_files)}). "
+        )
+    cfg = DedupConfig(
+        max_distance=args.max_distance,
+        use_edit_distance=args.edit,
+        dissection=args.cluster_dissection_method,
+    )
+    spark = get_spark(master=args.master)
+    t0 = time.monotonic()
+    tables = [read_fastq(spark, f) for f in input_files]
+    surviving = deduplicate_fastq(
+        spark, tables, cfg, check_slices, args.max_average_error_rate
+    )
+    n = write_fastq(surviving, output_files)
+    logger.info(
+        "wrote %d surviving record tuples to %s in %.1fs",
+        n, ", ".join(output_files), time.monotonic() - t0,
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     args = argument_parser().parse_args(argv)
     logging.basicConfig(level=logging.WARNING if args.quiet else logging.INFO)
@@ -63,6 +147,9 @@ def main(argv: list[str] | None = None) -> None:
         band_freq_cap=args.band_freq_cap,
         strip_boilerplate_frac=args.strip_boilerplate,
         checkpoint_dir=args.checkpoint_dir,
+        # bind checkpoints to THIS input: same knobs + different data
+        # must never resume from a previous dataset's stages
+        input_id=input_fingerprint(args.input) if args.checkpoint_dir else "",
     )
     spark = get_spark(master=args.master)
     t0 = time.monotonic()

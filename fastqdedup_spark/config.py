@@ -35,6 +35,10 @@ class DedupConfig:
     pair_partitions: int = 0        # 0 = leave to AQE
     # -- execution ----------------------------------------------------------
     checkpoint_dir: str = ""        # empty = localCheckpoint only, no resume
+    input_id: str = ""              # identifies the INPUT dataset (path + cheap
+                                    # fingerprint); folded into config_hash so a
+                                    # rerun on different data never resumes from
+                                    # another dataset's checkpoints
     seed: int = 42
     cc_max_iterations: int = 50
 

@@ -18,10 +18,13 @@ explode -> self-equi-join shape:
    variant obtained by deleting <= d characters from each.
 
 Skew handling (north_rule: explicit salting/repartition for hot bands):
-- mega-bands (shared license boilerplate) are frequency-capped: a band
-  with f members emits f^2/2 pairs, so bands above `band_freq_cap` are
-  dropped and COUNTED in the metrics rather than silently exploding the
-  shuffle; their members still pair through their other b-1 bands.
+- MinHash mega-bands (shared license boilerplate) are frequency-capped:
+  a band with f members emits f^2/2 pairs, so bands above
+  `band_freq_cap` are dropped and COUNTED in the metrics rather than
+  silently exploding the shuffle; their members still pair through
+  their other b-1 bands. The EXACT schemes (pigeonhole/deletion) are
+  NEVER capped — dropping a band there loses true pairs — oversized
+  exact bands are salted across bucket pairs instead.
 - the band self-join runs with AQE skew-join splitting on, and the band
   table is pre-repartitioned on band_hash so the join is a co-located
   shuffle-hash join rather than a driver-surprise.
@@ -36,30 +39,46 @@ from fastqdedup_spark.config import DedupConfig
 
 
 def _pairs_from_bands(
-    bands: DataFrame, id_col: str, cfg: DedupConfig, prefilter=None
+    bands: DataFrame, id_col: str, cfg: DedupConfig, prefilter=None,
+    cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(id, band_hash) -> distinct (id_a, id_b) with id_a < id_b, plus a
     one-row metrics DataFrame. The generic tail of all three schemes.
     `prefilter` (raw pairs -> pairs) runs BEFORE the distinct, while the
-    pair stream is still map-side."""
+    pair stream is still map-side.
+
+    `cap` is the band-size frequency cap. It must be None for the EXACT
+    schemes (pigeonhole / deletion banding): dropping an oversized band
+    there silently loses true pairs and splits clusters vs the reference
+    trie — e.g. a d=3 pigeonhole chunk over a 4-letter alphabet has only
+    256 possible values, so realistic corpora saturate every band.
+    Exact schemes salt oversized bands instead of dropping them; only
+    the probabilistic MinHash scheme passes cfg.band_freq_cap (a member
+    of a capped band still pairs through its other b-1 bands there)."""
     sizes = bands.groupBy("band_hash").agg(F.count(F.lit(1)).alias("band_size"))
+    capped_expr = (
+        F.sum(F.when(F.col("band_size") > cap, 1).otherwise(0))
+        if cap is not None
+        else F.lit(0)
+    )
     metrics = sizes.agg(
         F.count(F.lit(1)).alias("n_bands"),
         F.max("band_size").alias("max_band_size"),
-        F.sum(F.when(F.col("band_size") > cfg.band_freq_cap, 1).otherwise(0)).alias(
-            "capped_bands"
-        ),
+        capped_expr.alias("capped_bands"),
     )
-    eligible = sizes.filter(
-        (F.col("band_size") > 1) & (F.col("band_size") <= cfg.band_freq_cap)
-    )
+    eligible = sizes.filter(F.col("band_size") > 1)
+    if cap is not None:
+        eligible = eligible.filter(F.col("band_size") <= cap)
     # Explicit fan-out for the self-join: its INPUT is small (ids +
     # band hashes) so AQE's byte-based coalescing would collapse it to a
     # couple of partitions — but the join OUTPUT is quadratic in band
     # size and the est-prefilter downstream is compute-heavy. A
     # user-specified partition count is exempt from AQE coalescing.
+    # `eligible` is deliberately NOT broadcast-hinted: it has one row per
+    # distinct band (corpus-sized at 100 TB); AQE broadcasts it at small
+    # scale from runtime shuffle stats and shuffle-joins it at large.
     npart = cfg.pair_partitions or bands.sparkSession.sparkContext.defaultParallelism
-    kept = bands.join(F.broadcast(eligible), "band_hash").repartition(
+    kept = bands.join(eligible, "band_hash").repartition(
         npart, "band_hash"
     )
 
@@ -122,13 +141,13 @@ def minhash_candidate_pairs(
     if "sig_packed" in signed.columns and cfg.est_margin > 0:
         from fastqdedup_spark.operators.verify import est_prefilter
 
-        sigs = signed.select(id_col, "sig_packed").persist()
-        bcast = sigs.count() <= 5_000_000
+        sigs = signed.select(id_col, "sig_packed")
         return _pairs_from_bands(
             bands, id_col, cfg,
-            prefilter=lambda raw: est_prefilter(raw, sigs, cfg, id_col, bcast),
+            prefilter=lambda raw: est_prefilter(raw, sigs, cfg, id_col),
+            cap=cfg.band_freq_cap,
         )
-    return _pairs_from_bands(bands, id_col, cfg)
+    return _pairs_from_bands(bands, id_col, cfg, cap=cfg.band_freq_cap)
 
 
 def pigeonhole_candidate_pairs(

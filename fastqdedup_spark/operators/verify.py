@@ -105,22 +105,25 @@ def est_jaccard_matches(cfg: DedupConfig) -> "F.Column":
 
 
 def est_prefilter(
-    pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig,
-    id_col: str, broadcast_sigs: bool,
+    pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig, id_col: str,
 ) -> DataFrame:
     """Estimated-Jaccard pre-filter (JVM-side): the semantic-skew pair
     flood (boilerplate headers -> quadratically many j~0.2 candidates)
     dies here before any shuffle, content, or Python is touched. The
     margin makes false drops statistically negligible (~4.6 sigma at
     j == threshold with 128 bins, P ~ 2e-6); the exact verify UDF keeps
-    precision exact. `sigs` must carry (id_col, sig_packed)."""
-    hint = F.broadcast if broadcast_sigs else (lambda df: df)
+    precision exact. `sigs` must carry (id_col, sig_packed).
+
+    Join strategy is left to AQE: its runtime shuffle statistics see the
+    actual sketch-table size and convert to broadcast when small — no
+    mid-plan count() action (which added a pipeline barrier) and no
+    driver-OOM risk from force-broadcasting a corpus-sized table."""
     ga = sigs.select(F.col(id_col).alias("id_a"), F.col("sig_packed").alias("sig_a"))
     gb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig_packed").alias("sig_b"))
     min_matches = int((cfg.jaccard_threshold - cfg.est_margin) * cfg.num_perm)
     return (
-        pairs.join(hint(ga), "id_a")
-        .join(hint(gb), "id_b")
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
         .filter(est_jaccard_matches(cfg) >= min_matches)
         .select("id_a", "id_b")
     )
@@ -142,17 +145,14 @@ def verify_pairs_jaccard(
     identical, but skewed candidate floods (boilerplate bands) shrink
     inside whole-stage codegen."""
     jac = make_jaccard_udf(cfg.shingle_k)
-    # Checkpointed/UDF-produced frames carry no Catalyst statistics, so
-    # AQE cannot see which sides are broadcast-able. Small metadata
-    # tables (sketches, sizes) broadcast explicitly; the CONTENT table
-    # never does — building a content broadcast is driver-serial and
-    # dominates the stage, while a shuffled equi-join on id scales.
-    contents = contents.persist()  # count + joins below reuse it
-    bcast_meta = contents.count() <= 5_000_000
-    hint = F.broadcast if bcast_meta else (lambda df: df)
+    # Join strategies are left to AQE: runtime shuffle stats broadcast
+    # the small metadata tables (sketches, sizes) automatically. The
+    # CONTENT table never broadcasts in practice — it exceeds the
+    # autoBroadcastJoinThreshold at any real scale, and a shuffled
+    # equi-join on id is the scan-shaped plan that survives 100x data.
     if not skip_est and "sig_packed" in contents.columns and cfg.est_margin > 0:
         pairs = est_prefilter(
-            pairs, contents.select(id_col, "sig_packed"), cfg, id_col, bcast_meta
+            pairs, contents.select(id_col, "sig_packed"), cfg, id_col
         )
         skip_size_prune = True  # est filter dominates the size bound
     else:
@@ -168,8 +168,8 @@ def verify_pairs_jaccard(
             F.col(id_col).alias("id_b"), F.col(size_col).alias("sz_b")
         )
         pairs = (
-            pairs.join(hint(sa), "id_a")
-            .join(hint(sb), "id_b")
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
             .filter(
                 (F.greatest("sz_a", "sz_b") == 0)
                 | (

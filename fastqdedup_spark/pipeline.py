@@ -34,7 +34,7 @@ from fastqdedup_spark.functions.minhash import add_signature_columns, normalize_
 from fastqdedup_spark.functions.quality import content_quality_filter
 from fastqdedup_spark.operators.connected_components import connected_components
 from fastqdedup_spark.operators.dissect import dissect_clusters
-from fastqdedup_spark.operators.exact_dedup import exact_group_counts, with_sha256
+from fastqdedup_spark.operators.exact_dedup import with_sha256
 from fastqdedup_spark.operators.lsh import (
     deletion_candidate_pairs,
     minhash_candidate_pairs,
@@ -124,12 +124,16 @@ def dedup_files(
     files = with_sha256(files)
 
     # P9 pre-aggregation: exact duplicates collapse BEFORE signatures,
-    # mirroring the trie's count-in-node (_triemodule.c:233-239).
+    # mirroring the trie's count-in-node (_triemodule.c:233-239). The
+    # first-wins representative (min (repo, path, commit), O13) is
+    # computed in the SAME aggregation so the survivor tail never
+    # rescans the full input.
     distinct = ck.stage(
         "distinct_contents",
         lambda: files.groupBy("sha").agg(
             F.count(F.lit(1)).alias("cnt"),
             F.first("content").alias("content"),  # identical per sha
+            F.min(F.struct("repo", "path", "commit")).alias("rep"),
         ),
     )
     def _build_signatures() -> DataFrame:
@@ -154,14 +158,18 @@ def dedup_files(
                 "sha", "cnt", "content_norm"
             ),
             cfg,
-        ).withColumn("nid", F.xxhash64("sha"))
+        ).withColumn("nid", F.unhex(F.substring("sha", 1, 32)))
 
     signed = ck.stage("signatures", _build_signatures)
-    # candidate generation runs on compact 64-bit ids, not 64-char shas:
-    # the band self-join's output is quadratic in band size and each row
-    # carries two ids, so id width directly scales the heaviest shuffle.
-    # A 64-bit collision merely creates an extra candidate pair that the
-    # exact verify stage rejects — zero correctness impact.
+    # candidate generation runs on compact 16-byte binary ids (the first
+    # 128 bits of the sha), not 64-char hex shas: the band self-join's
+    # output is quadratic in band size and each row carries two ids, so
+    # id width directly scales the heaviest shuffle. 128 bits (vs the
+    # earlier xxhash64) makes collisions impossible in practice: a
+    # birthday collision at 10^12 distinct contents has P ~ 1.5e-15,
+    # where 64 bits had P ~ 0.03 — and a collision here is NOT benign
+    # (the nid->sha fan-out join would attach verified edges to both
+    # shas and falsely merge unrelated clusters).
     pairs_lazy, band_metrics = minhash_candidate_pairs(signed, cfg, id_col="nid")
     # pairs feeds only the verify stage and edges feed only the CC
     # sym-checkpoint: both fuse into their consumer (one fewer pipeline
@@ -180,13 +188,16 @@ def dedup_files(
         ),
         fuse=fuse,
     )
+    # map verified edges back to full shas; the nid map has one row per
+    # distinct content (corpus-sized at scale), so the join strategy is
+    # left to AQE — broadcast when small, shuffled equi-join when not.
     nid_map = signed.select("nid", "sha")
     edges = (
         edges_nid.join(
-            F.broadcast(nid_map.withColumnRenamed("nid", "id_a").withColumnRenamed("sha", "sha_a")), "id_a"
+            nid_map.withColumnRenamed("nid", "id_a").withColumnRenamed("sha", "sha_a"), "id_a"
         )
         .join(
-            F.broadcast(nid_map.withColumnRenamed("nid", "id_b").withColumnRenamed("sha", "sha_b")), "id_b"
+            nid_map.withColumnRenamed("nid", "id_b").withColumnRenamed("sha", "sha_b"), "id_b"
         )
         .select(F.col("sha_a").alias("id_a"), F.col("sha_b").alias("id_b"))
     )
@@ -214,8 +225,10 @@ def dedup_files(
         lambda: dissect_clusters(surv_input, cfg.dissection, **surv_kwargs),
     )
     # O13 survivor semi-join + first-wins: one surviving FILE per
-    # surviving content, deterministic by (repo, path, commit).
-    surviving_files = exact_group_counts(files).join(
+    # surviving content, deterministic by (repo, path, commit). The
+    # representative rides on the distinct_contents stage — no second
+    # full-input aggregation here (one shuffle saved).
+    surviving_files = distinct.select("sha", "rep").join(
         survivors.select(F.col("key").alias("sha")), "sha", "left_semi"
     )
     deduped = files.join(

@@ -8,10 +8,31 @@ parquet-at-path (same schema contract either way). Writers mirror that.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def input_fingerprint(location: str) -> str:
+    """Cheap dataset identity for checkpoint keying: the path plus file
+    count and total bytes (driver-side metadata walk, no data read).
+    Folded into DedupConfig.input_id so a rerun with the same knobs but
+    a DIFFERENT input never resumes another dataset's checkpoints."""
+    n, total = 0, 0
+    if os.path.isdir(location):
+        for root, _, names in os.walk(location):
+            for name in names:
+                try:
+                    total += os.path.getsize(os.path.join(root, name))
+                    n += 1
+                except OSError:
+                    pass
+    elif os.path.exists(location):
+        n, total = 1, os.path.getsize(location)
+    return f"{location}|{n}|{total}"
 
 
 def read_files_table(spark: SparkSession, location: str) -> DataFrame:

@@ -29,7 +29,10 @@ from fastqdedup_spark.functions.quality import average_error_rate_udf
 from fastqdedup_spark.functions.slices import key_projection
 from fastqdedup_spark.pipeline import dedup_keys
 
-FASTQ_SCHEMA = "record_idx long, name string, sequence string, qualities string"
+FASTQ_SCHEMA = (
+    "file_name string, record_idx long, name string, sequence string, "
+    "qualities string"
+)
 
 
 def _parse_fastq_bytes(blob: bytes) -> pd.DataFrame:
@@ -59,13 +62,15 @@ def _parse_fastq_bytes(blob: bytes) -> pd.DataFrame:
 
 
 def read_fastq(spark: SparkSession, path: str) -> DataFrame:
-    """One task per file; record_idx is the position within its file."""
+    """One task per file; record_idx is the position within its file.
+    `file_name` disambiguates records when a glob matches several files
+    (record_idx alone repeats across files)."""
     rdd = spark.sparkContext.binaryFiles(path)
 
     def parse(kv):
-        _, blob = kv
+        fname, blob = kv
         pdf = _parse_fastq_bytes(bytes(blob))
-        return list(pdf.itertuples(index=False, name=None))
+        return [(fname, *row) for row in pdf.itertuples(index=False, name=None)]
 
     return spark.createDataFrame(rdd.flatMap(parse), FASTQ_SCHEMA)
 
@@ -80,9 +85,22 @@ def _mate_root(name_col: str) -> F.Column:
 def zip_fastq(tables: list[DataFrame], validate: bool = True) -> DataFrame:
     """Positional zip of parallel FASTQ tables -> one row per record
     tuple with columns name_i/sequence_i/qualities_i. Raises ValueError
-    if any tuple's names are not mates (ref __init__.py:181-185)."""
+    if any tuple's names are not mates (ref __init__.py:181-185).
+
+    The positional join key is record_idx, which is only meaningful when
+    each table comes from exactly ONE file — a glob-read table repeats
+    record_idx per file and would cross-match records — so multi-file
+    tables are rejected up front."""
     out = None
     for i, df in enumerate(tables):
+        if "file_name" in df.columns:
+            nf = df.select("file_name").distinct().limit(2).collect()
+            if len(nf) > 1:
+                raise ValueError(
+                    f"zip_fastq table {i} spans multiple files "
+                    f"({nf[0].file_name!r}, {nf[1].file_name!r}, ...); pass "
+                    f"one file per table — record_idx is per-file."
+                )
         renamed = df.select(
             "record_idx",
             F.col("name").alias(f"name_{i}"),
@@ -114,18 +132,24 @@ def deduplicate_fastq(
     __init__.py:209-288): returns the surviving record tuples.
 
     1. zip + validate (O2)
-    2. quality filter on the FIRST file's qualities (O3; the reference
-       filters on the R1 error rate by default, __init__.py:247-250)
+    2. quality filter on the concat of ALL mates' qualities, sliced by
+       the same check_slices as the dedup key (O3; ref __init__.py:243-250
+       builds `joinfunc(record.qualities for record in record_tuple)` and
+       discards when the average error rate exceeds the threshold).
+       Disabled when the threshold is None or >= 1.0 (the reference's
+       `-E` sets it to 1.0, and `filter_on_quality = rate < 1.0`).
     3. dedup key = concat of sliced sequences (O4)
     4. exact-radius cluster + dissect (O5-O11) via dedup_keys
     5. survivor semi-join, first occurrence per key wins (O13)
     """
     zipped = zip_fastq(tables)
-    if max_average_error_rate is not None:
-        zipped = zipped.filter(
-            average_error_rate_udf(F.col("qualities_0")) <= max_average_error_rate
-        )
     seq_cols = [c for c in zipped.columns if c.startswith("sequence_")]
+    qual_cols = [c.replace("sequence_", "qualities_") for c in seq_cols]
+    if max_average_error_rate is not None and max_average_error_rate < 1.0:
+        qual_key = key_projection(qual_cols, check_slices)
+        zipped = zipped.filter(
+            average_error_rate_udf(qual_key) <= max_average_error_rate
+        )
     zipped = zipped.withColumn("dedup_key", key_projection(seq_cols, check_slices))
     result = dedup_keys(spark, zipped.select(F.col("dedup_key").alias("key")), cfg)
     survivors = result.survivors.select(F.col("key").alias("dedup_key")).distinct()
@@ -133,3 +157,46 @@ def deduplicate_fastq(
     # first-wins: exactly one record tuple per surviving key
     best = kept.groupBy("dedup_key").agg(F.min("record_idx").alias("record_idx"))
     return kept.join(best, ["dedup_key", "record_idx"], "inner").drop("dedup_key")
+
+
+def write_fastq(records: DataFrame, output_files: list[str]) -> int:
+    """O13 sink: serialize surviving record tuples back to one FASTQ
+    file per mate, gzip level 1 when the name ends in .gz — matching the
+    reference's output exactly (filter_fastq_files_on_set,
+    /root/reference/src/fastqdedup/__init__.py:189-206; compresslevel=1
+    at :197-198). Records are emitted in input order (record_idx), the
+    reference's first-wins emission order.
+
+    A FASTQ output file is a single ordered byte stream (mates must stay
+    positionally in sync across files), so this sink streams the sorted
+    result through the driver — the same shape as the reference's
+    single-process pass 3. At data-lake scale the parquet/Iceberg sink
+    (sources.write_table) is the primary output; this exists for
+    reference CLI parity. Returns the number of record tuples written."""
+    n_mates = len(output_files)
+    cols = ["record_idx"]
+    for i in range(n_mates):
+        cols += [f"name_{i}", f"sequence_{i}", f"qualities_{i}"]
+    missing = set(cols) - set(records.columns)
+    if missing:
+        raise ValueError(f"records table missing columns: {sorted(missing)}")
+
+    def opener(path: str):
+        if path.endswith(".gz"):
+            return gzip.open(path, "wb", compresslevel=1)
+        return open(path, "wb")
+
+    outs = [opener(p) for p in output_files]
+    n = 0
+    try:
+        for row in records.select(*cols).sort("record_idx").toLocalIterator():
+            for i, out in enumerate(outs):
+                out.write(
+                    f"@{row[f'name_{i}']}\n{row[f'sequence_{i}']}\n+\n"
+                    f"{row[f'qualities_{i}']}\n".encode("ascii")
+                )
+            n += 1
+    finally:
+        for out in outs:
+            out.close()
+    return n

@@ -87,6 +87,65 @@ def test_key_projection_slices(spark):
         assert got == want, spec
 
 
+def test_zip_rejects_multi_file_tables(spark, tmp_path):
+    """record_idx is per-file, so a glob-read table would cross-match
+    tuples; zip_fastq must refuse it (ADVICE r1)."""
+    _write_fastq(tmp_path / "x1.fastq", R1[:2])
+    _write_fastq(tmp_path / "x2.fastq", R1[2:4])
+    multi = read_fastq(spark, str(tmp_path / "x*.fastq"))
+    single = read_fastq(spark, str(tmp_path / "x1.fastq"))
+    with pytest.raises(ValueError, match="multiple files"):
+        zip_fastq([multi, single])
+
+
+def test_quality_filter_covers_all_mates_and_slices(spark, tmp_path):
+    """Reference parity (ADVICE r1): the error rate is computed over
+    joinfunc of ALL mates' qualities sliced by check_slices
+    (ref __init__.py:243-250), not just R1's."""
+    r1 = [("a/1", "ACGTACGT", "IIIIIIII"), ("b/1", "TTTTTTTT", "IIIIIIII")]
+    r2 = [("a/2", "CCCCAAAA", "!!!!!!!!"), ("b/2", "GGGGCCCC", "IIIIIIII")]
+    _write_fastq(tmp_path / "q1.fastq", r1)
+    _write_fastq(tmp_path / "q2.fastq", r2)
+    t1 = read_fastq(spark, str(tmp_path / "q1.fastq"))
+    t2 = read_fastq(spark, str(tmp_path / "q2.fastq"))
+    cfg = DedupConfig(max_distance=1)
+    # record a: R1 perfect, R2 terrible -> discarded now that all mates count
+    out = deduplicate_fastq(spark, [t1, t2], cfg)
+    assert [r.name_0 for r in out.collect()] == ["b/1"]
+    # with check_slices covering only R1, R2's qualities leave the key
+    out2 = deduplicate_fastq(
+        spark, [t1, t2], cfg, check_slices=[slice(8), slice(0)]
+    )
+    assert sorted(r.name_0 for r in out2.collect()) == ["a/1", "b/1"]
+    # threshold >= 1.0 disables the filter entirely (reference -E)
+    out3 = deduplicate_fastq(spark, [t1, t2], cfg, max_average_error_rate=1.0)
+    assert sorted(r.name_0 for r in out3.collect()) == ["a/1", "b/1"]
+
+
+def test_write_fastq_round_trip_and_parity_cli(spark, tmp_path):
+    """O13 sink + reference CLI surface end-to-end: outputs are gzipped
+    (level 1) FASTQ whose records equal deduplicate_fastq's DataFrame."""
+    from fastqdedup_spark.cli import parity_main
+
+    _write_fastq(tmp_path / "in1.fastq.gz", R1, compress=True)
+    _write_fastq(tmp_path / "in2.fastq.gz", R2, compress=True)
+    o1, o2 = str(tmp_path / "out1.fastq.gz"), str(tmp_path / "out2.fastq.gz")
+    parity_main([
+        str(tmp_path / "in1.fastq.gz"), str(tmp_path / "in2.fastq.gz"),
+        "-o", o1, "-o", o2, "-d", "1", "-c", "directional",
+    ])
+    got1 = read_fastq(spark, o1)
+    rows = sorted(got1.collect(), key=lambda r: r.record_idx)
+    assert [r.name for r in rows] == ["read1/1", "read2/1", "read3/1"]
+    got2 = read_fastq(spark, o2)
+    rows2 = sorted(got2.collect(), key=lambda r: r.record_idx)
+    assert [r.sequence for r in rows2] == ["CCCCAAAA", "CCCCAAAT", "GGGGAAAA"]
+    # mates stay positionally in sync across output files
+    assert [r.name.split("/")[0] for r in rows] == [
+        r.name.split("/")[0] for r in rows2
+    ]
+
+
 def test_deduplicate_fastq_end_to_end(spark, tmp_path):
     """Full reference-CLI equivalent: quality filter + paired dedup at
     Hamming d=1 with directional dissection."""

@@ -18,8 +18,8 @@ def test_salted_pairs_equal_plain_pairs(spark):
     bands = _band_rows(spark, [(1, 150), (2, 3), (3, 500)])
     plain_cfg = DedupConfig(salt_buckets=1, band_freq_cap=200)
     salted_cfg = DedupConfig(salt_buckets=4, band_freq_cap=200)
-    plain, _ = _pairs_from_bands(bands, "key", plain_cfg)
-    salted, _ = _pairs_from_bands(bands, "key", salted_cfg)
+    plain, _ = _pairs_from_bands(bands, "key", plain_cfg, cap=plain_cfg.band_freq_cap)
+    salted, _ = _pairs_from_bands(bands, "key", salted_cfg, cap=salted_cfg.band_freq_cap)
     p = {(r.id_a, r.id_b) for r in plain.collect()}
     q = {(r.id_a, r.id_b) for r in salted.collect()}
     assert p == q
@@ -34,7 +34,42 @@ def test_salting_handles_all_pairs_across_buckets(spark):
     final distinct, no losses) even when bucket(a) > bucket(b)."""
     bands = _band_rows(spark, [(7, 80)])
     cfg = DedupConfig(salt_buckets=3, band_freq_cap=100)
-    pairs, _ = _pairs_from_bands(bands, "key", cfg)
+    pairs, _ = _pairs_from_bands(bands, "key", cfg, cap=cfg.band_freq_cap)
     rows = pairs.collect()
     assert len(rows) == 80 * 79 // 2
     assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
+
+
+def test_exact_schemes_never_capped(spark):
+    """ADVICE r1 (high): pigeonhole/deletion banding documents recall
+    1.0 — a band above band_freq_cap must be SALTED, not dropped. With
+    no cap (the exact-scheme default), every pair of the oversized band
+    survives."""
+    bands = _band_rows(spark, [(3, 500)])  # 500 members >> cap of 200
+    cfg = DedupConfig(salt_buckets=4, band_freq_cap=200)
+    pairs, metrics = _pairs_from_bands(bands, "key", cfg)  # cap=None default
+    assert pairs.count() == 500 * 499 // 2
+    assert metrics.collect()[0].capped_bands == 0
+
+
+def test_pigeonhole_recall_above_cap(spark):
+    """End-to-end: keys whose pigeonhole chunks all collide in bands
+    larger than band_freq_cap still produce every true Hamming-<=d pair."""
+    from fastqdedup_spark.operators.lsh import pigeonhole_candidate_pairs
+
+    # 12 keys, all within Hamming 1 of "AAAA" -> every band has >= 4
+    # members while the cap is 3; dropping any band loses true pairs
+    keys = ["AAAA", "CAAA", "GAAA", "TAAA", "ACAA", "AGAA",
+            "ATAA", "AACA", "AAGA", "AATA", "AAAC", "AAAG"]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    cfg = DedupConfig(max_distance=1, band_freq_cap=3, salt_buckets=2)
+    pairs, _ = pigeonhole_candidate_pairs(df, cfg)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # candidate recall: every true Hamming<=1 pair must be present
+    from fastqdedup_spark.oracle import oracle_pairs
+
+    truth = {
+        tuple(sorted((keys[i], keys[j])))
+        for i, j in oracle_pairs(keys, max_distance=1)
+    }
+    assert truth <= got
