@@ -65,15 +65,21 @@ def dissect_clusters(
     kernel = CLUSTER_DISSECTION_METHODS[method]
     has_cmp = "cmp" in clusters.columns
 
-    # split mega-clusters off to the aggregate fallback
+    # split mega-clusters off to the aggregate fallback; sizes has one
+    # row per cluster (corpus-scaled), so the join strategy stays with
+    # AQE rather than a forced broadcast
     sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_csize"))
-    with_size = clusters.join(F.broadcast(sizes), "cluster_id")
+    with_size = clusters.join(sizes, "cluster_id")
     small = with_size.filter(F.col("_csize") <= max_cluster_size).drop("_csize")
     big = with_size.filter(F.col("_csize") > max_cluster_size).drop("_csize")
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         cluster = list(zip(pdf["cnt"].tolist(), pdf["key"].tolist()))
         cmp = pdf["cmp"].tolist() if has_cmp else None
+        if cmp is not None and hasattr(within, "prepare"):
+            # e.g. jaccard_within: shingle each member once, not once
+            # per pairwise comparison (O(n) instead of O(n^2) encodes)
+            cmp = within.prepare(cmp)
         survivors = list(
             kernel(cluster, max_distance, use_edit_distance, cmp=cmp, within=within)
         )

@@ -85,40 +85,114 @@ def brute_force_topk(
     )
 
 
+def _pairwise_cosine_filter(
+    pairs: DataFrame, vecs: DataFrame, threshold: float,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id_a, id_b) candidates -> exact-cosine-verified pairs. Two
+    equi-joins attach the vectors (AQE broadcasts the vector table when
+    small), then one Arrow-batched row-wise dot product."""
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    withv = pairs.join(va, "id_a").join(vb, "id_b")
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        ma /= np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
+        mb /= np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
+        return pd.Series((ma * mb).sum(axis=1))
+
+    return (
+        withv.withColumn("_cos", cos("_va", "_vb"))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "bucketed",
+    n_bits: int = 16,
+    n_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b) with
-    cosine >= threshold, id_a < id_b. Exact.
+    cosine >= threshold, id_a < id_b.
 
-    Execution: the corpus matrix is collected + broadcast and every
-    partition computes one BLAS block-matmul against it — exact and
-    embarrassingly parallel, correct up to ~1M x small-dim vectors.
-    Beyond that, swap in the `add_sign_bucket` LSH bucket join
-    (approximate) or a tiled cross-join; the output contract is the
-    same."""
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    m = np.array([r[1] for r in rows], dtype=np.float64)
-    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, mn))
+    method="bucketed" (default — the 100 TB path): multi-table
+    random-hyperplane LSH. Each vector gets `n_tables` independent
+    sign-bucket ids; candidates are the distinct within-bucket pairs
+    (the same capped/salted band self-join the text tiers use), and an
+    exact cosine verify keeps precision exact. Recall for a pair at
+    angle theta misses only if every table splits it:
+    (1 - (1 - theta/pi)^n_bits)^n_tables — at threshold 0.99
+    (theta ~ 0.14) with 16 bits x 8 tables that is ~0.5% worst-case at
+    the exact threshold boundary and ~1e-11 for true near-dups
+    (theta < 0.01). Nothing is ever collected to the driver.
 
-    def block(it):
-        all_ids, full = bc.value
-        for pdf in it:
-            bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-            s = bm @ full.T  # (block, corpus)
-            bi, ci = np.nonzero(s >= threshold)
-            a = pdf[id_col].to_numpy()[bi]
-            b = all_ids[ci]
-            keep = a < b
-            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+    method="broadcast": the exact small-corpus fast path — collect +
+    broadcast the full matrix, one BLAS block-matmul per partition.
+    Exact for any threshold but driver-bound (~1M x small-dim ceiling);
+    opt in only when the corpus is known small.
+    """
+    if method == "broadcast":
+        rows = corpus.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        m = np.array([r[1] for r in rows], dtype=np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        bc = corpus.sparkSession.sparkContext.broadcast((ids, mn))
 
-    return corpus.select(id_col, vec_col).mapInPandas(block, "id_a long, id_b long")
+        def block(it):
+            all_ids, full = bc.value
+            for pdf in it:
+                bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+                s = bm @ full.T  # (block, corpus)
+                bi, ci = np.nonzero(s >= threshold)
+                a = pdf[id_col].to_numpy()[bi]
+                b = all_ids[ci]
+                keep = a < b
+                yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+        return corpus.select(id_col, vec_col).mapInPandas(
+            block, "id_a long, id_b long"
+        )
+    if method != "bucketed":
+        raise ValueError(f"unknown method: {method!r}")
+
+    from fastqdedup_spark.config import DedupConfig
+    from fastqdedup_spark.operators.lsh import _pairs_from_bands
+
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits * n_tables, seed)
+    bc = corpus.sparkSession.sparkContext.broadcast(planes)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        bits = (m @ bc.value) > 0  # (batch, n_bits * n_tables)
+        bits = bits.reshape(len(m), n_tables, n_bits)
+        ids = bits @ weights  # (batch, n_tables)
+        # fold the table index into the bucket id so tables never collide
+        ids = ids + (np.arange(n_tables, dtype=np.int64) << n_bits)
+        return pd.Series(list(ids))
+
+    vecs = corpus.select(id_col, vec_col)
+    bands = vecs.select(
+        F.col(id_col), F.explode(buckets(F.col(vec_col))).alias("band_hash")
+    )
+    # reuse the text tiers' salted band self-join; cap=None — a hot
+    # bucket here is a genuine mass-duplicate cluster whose pairs are
+    # real, so it is salted across reducers rather than dropped
+    cfg = DedupConfig(salt_buckets=8)
+    candidates, _ = _pairs_from_bands(bands, id_col, cfg, cap=None)
+    return _pairwise_cosine_filter(candidates, vecs, threshold, id_col, vec_col)
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
@@ -154,19 +228,48 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    multi_probe: int = 1,
 ) -> DataFrame:
     """ANN: equi-join on the sign bucket, exact cosine rerank inside the
-    bucket. Approximate — vectors in other buckets are unseen; raise
-    recall with fewer bits or multi-probe. The corpus side can be
-    pre-bucketed and persisted, making every query a pruned probe."""
+    candidate set. The corpus side is bucketed ONCE (persistable as a
+    bucketed table); only the tiny query side fans out.
+
+    `multi_probe` is the recall knob: each query also probes every
+    bucket within Hamming distance <= multi_probe of its own (a
+    neighbor whose signature differs by m bits lives in a
+    Hamming-m bucket), so recall no longer depends on the query landing
+    in exactly the right bucket. multi_probe=1 probes 1 + n_bits
+    buckets; 0 restores single-bucket probing. JVM-side bit flips —
+    the corpus is never re-hashed or replicated."""
     c = add_sign_bucket(corpus, vec_col, dim, n_bits, seed).select(
         "bucket", F.col(id_col), F.col(vec_col).alias("cvec")
     )
     q = add_sign_bucket(queries, vec_col, dim, n_bits, seed).select(
         "bucket", F.col(query_id_col), F.col(vec_col).alias("qvec")
     )
-    joined = c.join(F.broadcast(q), "bucket").withColumn(
-        "score", cosine_expr("cvec", "qvec")
+    if multi_probe > 0:
+        # all bucket ids within Hamming <= multi_probe via iterated
+        # single-bit XOR flips; array_distinct collapses the duplicates
+        masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_bits)])
+        probes = F.array(F.col("bucket"))
+        for _ in range(multi_probe):
+            probes = F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        probes,
+                        lambda b: F.concat(
+                            F.array(b),
+                            F.transform(masks, lambda m: b.bitwiseXOR(m)),
+                        ),
+                    )
+                )
+            )
+        q = q.withColumn("bucket", F.explode(probes))
+    joined = (
+        c.join(F.broadcast(q), "bucket")
+        # a neighbor can match several probe buckets of the same query
+        .dropDuplicates([query_id_col, id_col])
+        .withColumn("score", cosine_expr("cvec", "qvec"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (

@@ -120,16 +120,26 @@ def _make_within(
 
 
 def jaccard_within(threshold: float, k: int) -> WithinFn:
-    """Code-domain predicate: exact char-k-gram Jaccard >= threshold."""
+    """Code-domain predicate: exact char-k-gram Jaccard >= threshold.
+
+    Dissection calls the predicate O(cluster^2) times; re-shingling both
+    texts per call made it O(n^2) re-encoding. The attached `.prepare`
+    hook lets the dissection kernel shingle each member ONCE (the `cmp`
+    values become frozensets); the predicate accepts either raw strings
+    or pre-shingled sets."""
     from fastqdedup_spark.functions.minhash import shingle_set
 
-    def fn(a: str, b: str) -> bool:
-        sa, sb = shingle_set(a, k), shingle_set(b, k)
+    def _set(x) -> frozenset:
+        return x if isinstance(x, (set, frozenset)) else shingle_set(x, k)
+
+    def fn(a, b) -> bool:
+        sa, sb = _set(a), _set(b)
         if not sa and not sb:
             return True
         inter = len(sa & sb)
         return inter / (len(sa) + len(sb) - inter) >= threshold
 
+    fn.prepare = lambda values: [_set(v) for v in values]  # type: ignore[attr-defined]
     return fn
 
 

@@ -15,6 +15,7 @@ exact-dedup in streaming/dedup.py).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -22,6 +23,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from fastqdedup_spark.functions.simhash import simhash64
+
+# 16-bit popcount lookup: popcount(x64) = sum of 4 table probes.
+# numpy<2 has no bitwise_count; this keeps the state scan fully
+# vectorized (one XOR + 4 gathers per incoming doc over the whole
+# state array) instead of a per-entry Python loop.
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.view(np.uint64)
+    return (
+        _POP16[(x & 0xFFFF).astype(np.int64)]
+        + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[(x >> np.uint64(48)).astype(np.int64)]
+    ).astype(np.int64)
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -41,28 +58,46 @@ STATE_SCHEMA = T.StructType(
 def _make_fn(max_hamming: int, max_state: int):
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            ids, sigs = state.get
-            ids, sigs = list(ids), list(sigs)
+            prev_ids, prev_sigs = state.get
+            ids = np.array(prev_ids, dtype=np.int64)
+            sigs = np.array(prev_sigs, dtype=np.int64)
         else:
-            ids, sigs = [], []
-        out = []
+            ids = np.empty(0, dtype=np.int64)
+            sigs = np.empty(0, dtype=np.int64)
+        out_frames = []
         for pdf in pdfs:
-            for doc_id, sig in zip(pdf["doc_id"], pdf["simhash"]):
-                doc_id, sig = int(doc_id), int(sig)
-                dup_of = None
-                for j in range(len(ids)):
-                    if bin((sigs[j] ^ sig) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming:
-                        dup_of = ids[j]
-                        break
-                if dup_of is None:
-                    ids.append(doc_id)
-                    sigs.append(sig)
-                    if len(ids) > max_state:  # bounded ring
-                        ids.pop(0)
-                        sigs.pop(0)
-                out.append((doc_id, sig, dup_of))
-        state.update((ids, sigs))
-        yield pd.DataFrame(out, columns=["doc_id", "simhash", "dup_of"])
+            batch_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            batch_sigs = pdf["simhash"].to_numpy(dtype=np.int64)
+            dup_of = np.full(len(batch_ids), np.nan)
+            # sequential by necessity (each novel doc extends the state
+            # the NEXT doc scans), but the per-doc scan is one
+            # vectorized XOR + popcount over the whole state array
+            for i in range(len(batch_ids)):
+                if len(sigs):
+                    d = _popcount64(sigs ^ batch_sigs[i])
+                    hits = np.nonzero(d <= max_hamming)[0]
+                else:
+                    hits = ()
+                if len(hits):
+                    dup_of[i] = ids[hits[0]]
+                else:
+                    ids = np.append(ids, batch_ids[i])
+                    sigs = np.append(sigs, batch_sigs[i])
+            if len(ids) > max_state:  # bounded ring
+                ids = ids[-max_state:]
+                sigs = sigs[-max_state:]
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": batch_ids,
+                        "simhash": batch_sigs,
+                        # nullable Int64: NaN -> <NA> -> SQL null (novel)
+                        "dup_of": pd.Series(dup_of).astype("Int64"),
+                    }
+                )
+            )
+        state.update((ids.tolist(), sigs.tolist()))
+        yield pd.concat(out_frames, ignore_index=True)
 
     return fn
 

@@ -61,6 +61,60 @@ def test_lsh_topk_recall(spark, vectors):
     assert len(e & a) / len(e) > 0.3  # loose: 4-bit buckets prune hard
 
 
+def test_lsh_topk_multi_probe_recall(spark):
+    """VERDICT r1 #9: multi-probe lifts bucket-LSH recall. On a corpus
+    with genuine near neighbors (clustered families — the regime ANN is
+    for), probing the Hamming-<=2 neighborhood at 8 bits must reach
+    >= 0.95 recall of the exact top-3, where the single-bucket probe
+    does not."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for fam in range(40):
+        center = rng.standard_normal(16)
+        for j in range(4):  # 4 noisy members per family, cosine ~0.99
+            v = center + rng.standard_normal(16) * 0.05
+            rows.append((fam * 10 + j, v.tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") % 10 == 0).limit(15).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=3)
+    probed = lsh_topk(corpus, queries, dim=16, k=3, n_bits=8, multi_probe=2)
+    single = lsh_topk(corpus, queries, dim=16, k=3, n_bits=8, multi_probe=0)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    p = {(r.query_id, r.vec_id) for r in probed.collect()}
+    s = {(r.query_id, r.vec_id) for r in single.collect()}
+    assert len(e & p) / len(e) >= 0.95
+    assert len(e & p) > len(e & s)  # the probe knob actually adds recall
+    # ranks stay unique per query even though probes overlap
+    ranks = {}
+    for r in probed.collect():
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_cosine_dup_pairs_bucketed_matches_exact(spark):
+    """VERDICT r1 #2: the default (bucketed, no driver collect) path
+    must find the same pair set as the exact broadcast matmul on a
+    corpus with planted near-dup families."""
+    from fastqdedup_spark.operators.similarity import cosine_dup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(150):
+        v = rng.standard_normal(32)
+        rows.append((i, v.tolist()))
+        if i % 3 == 0:  # planted near-dup: tiny perturbation
+            rows.append((i + 10_000, (v * 1.01 + 0.001).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = cosine_dup_pairs(df, threshold=0.99, method="broadcast")
+    bucketed = cosine_dup_pairs(df, threshold=0.99)  # default: bucketed
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    b = {(r.id_a, r.id_b) for r in bucketed.collect()}
+    assert len(e) >= 50  # the planted families are actually there
+    assert b == e
+
+
 def test_suffix_array_known():
     s = np.frombuffer(b"banana", dtype=np.uint8)
     sa = suffix_array(s)
