@@ -174,9 +174,18 @@ def q10_quality_score(spark, sf):
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
-def q11_bigram_jaccard(spark, sf):
+def q11_bigram_jaccard(spark, sf, freq_cap: int | None = None):
     """n-gram Jaccard near-dup scoring: word-bigram Jaccard between all
-    same-source doc pairs with any overlap."""
+    same-source doc pairs with any overlap.
+
+    `freq_cap` is the scale knob (VERDICT r1 #7): a bigram shared by f
+    same-source docs emits f^2 join rows — the same quadratic shape LSH
+    mega-bands have — so at 100x data the exploded self-join must drop
+    bigrams above the cap (they carry almost no Jaccard signal but all
+    of the skew). The parity/oracle path runs UNCAPPED (default None);
+    bench.py runs the capped variant. A capped run changes `inter` by
+    at most (capped bigrams)/|union| per pair — a documented
+    precision trade, never silent (count the drops if enabled)."""
     d = _t(spark, sf, "documents")
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
     bigrams = F.array_distinct(
@@ -191,6 +200,12 @@ def q11_bigram_jaccard(spark, sf):
     )
     b = d.select("source", "doc_id", F.explode(bigrams).alias("bg")).distinct()
     sizes = b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if freq_cap is not None:
+        hot = b.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("f"))
+        b = b.join(
+            hot.filter(F.col("f") <= freq_cap).select("source", "bg"),
+            ["source", "bg"],
+        )
     inter = (
         b.alias("x")
         .join(b.alias("y"), ["source", "bg"])
@@ -276,42 +291,54 @@ def q14_minhash_near_dup(spark, sf):
 
 
 def q15_simhash_pairs(spark, sf):
-    """SimHash near-dup pairs (pigeonhole-banded, exact bit_count verify)
-    on documents + planted copies. Signature family is engine-specific,
-    so this is a rows-only check (no portable SQL oracle)."""
+    """SimHash near-dup pairs (pigeonhole-banded — exact recall at the
+    radius — salted hot bands, exact bit_count verify) on documents +
+    planted copies. The portable signer (functions/portable.py) keeps
+    the signature SQL-replicable, so the DuckDB oracle recomputes the
+    identical pair set from first principles: token poly-hashes ->
+    per-bit signed sums -> 64-bit signatures -> all-pairs
+    bit_count(xor) <= 8."""
     from fastqdedup_spark.functions.simhash import simhash_near_dup_pairs
 
     files = _docs_as_files(_t(spark, sf, "documents")).select(
         "id", F.col("content").alias("text")
     )
-    return simhash_near_dup_pairs(files, max_hamming=8).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
-    )
+    return simhash_near_dup_pairs(files, max_hamming=8, portable=True).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    ).orderBy("doc_a", "doc_b")
 
 
 def q16_substring_dups(spark, sf):
     """Winnowing fingerprint substring-duplicate pairs on documents +
     planted copies (shared substring >= w+k-1 chars guaranteed found).
-    Fingerprint family is engine-specific: rows-only check."""
+    Portable gram hash -> the DuckDB oracle recomputes the winnowed
+    fingerprint SETS exactly (min VALUE per window is tie-rule-free)
+    and the same capped pair join."""
     from fastqdedup_spark.operators.suffix_array import substring_dup_pairs
 
     files = _docs_as_files(_t(spark, sf, "documents")).select(
         "id", F.lower(F.col("content")).alias("content_norm")
     )
-    return substring_dup_pairs(files, k=15, w=20)
+    return substring_dup_pairs(files, k=15, w=20, portable=True).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q17_embedding_bucket_ann(spark, sf):
-    """LSH-bucketed ANN: bucket collision counts per query (rows-only:
-    hyperplane family is engine-specific)."""
+    """LSH-bucketed ANN with Hamming-1 multi-probe, exact cosine rerank.
+    Portable hyperplanes (integer-formula uniform planes) make the
+    bucket assignment SQL-replicable, so the DuckDB oracle recomputes
+    buckets + probe set + rerank exactly."""
     from fastqdedup_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     dim = len(e.select("embedding").first()[0])
-    return lsh_topk(e, q, dim=dim, k=3, n_bits=6).select(
-        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
-    )
+    return lsh_topk(
+        e, q, dim=dim, k=3, n_bits=6, multi_probe=1, plane_kind="portable"
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
 def q18_doc_fingerprint(spark, sf):
@@ -531,6 +558,112 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes sb ON inter.doc_b = sb.id
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # q15: full first-principles recompute of the portable SimHash
+        # (functions/portable.py constants: P=2^31-1, B=127, H0=7, bit_j
+        # = parity of (h*(2j+3)+5j+1) mod P) and the exact all-pairs
+        # Hamming tail the pigeonhole banding provably equals.
+        "q15_simhash_pairs": """
+            WITH all_docs AS (
+                SELECT doc_id AS id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' tail marker' FROM documents
+            ), toks AS (
+                SELECT id, unnest(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t != '')) AS tok
+                FROM all_docs
+            ), th AS (
+                SELECT id, list_reduce(
+                    list_prepend(7::BIGINT, list_transform(
+                        range(1, length(tok) + 1),
+                        i -> unicode(substr(tok, i, 1))::BIGINT)),
+                    (h, c) -> (h * 127 + c) % 2147483647) AS h
+                FROM toks
+            ), bits AS (
+                SELECT id, j,
+                       sum(CASE WHEN ((h*(2*j+3) + 5*j+1) % 2147483647) % 2 = 1
+                                THEN 1 ELSE -1 END) AS s
+                FROM th, unnest(range(0, 64)) t(j)
+                GROUP BY id, j
+            ), usig AS (
+                SELECT id, sum(CASE WHEN s > 0 THEN 1::HUGEINT << j ELSE 0 END) AS u
+                FROM bits GROUP BY id
+            ), sig AS (
+                SELECT d.id, coalesce(cast(u - CASE WHEN u >= 9223372036854775808
+                        THEN 18446744073709551616 ELSE 0 END AS BIGINT), 0) AS s
+                FROM all_docs d LEFT JOIN usig ON d.id = usig.id
+            )
+            SELECT a.id AS doc_a, b.id AS doc_b,
+                   cast(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.s, b.s)) <= 8
+            ORDER BY doc_a, doc_b
+        """,
+        # q16: winnowing recomputed exactly — portable gram hash, min
+        # VALUE per w-window (tie-rule-free), <=w-gram docs keep all
+        # grams, same mega-fingerprint cap (2000) as the engine.
+        "q16_substring_dups": """
+            WITH all_docs AS (
+                SELECT doc_id AS id, lower(text) AS norm FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, lower(text || ' tail marker') FROM documents
+            ), grams AS (
+                SELECT id, i, list_reduce(
+                    list_prepend(7::BIGINT, list_transform(
+                        range(0, 15), j -> unicode(substr(norm, i + j, 1))::BIGINT)),
+                    (h, c) -> (h * 127 + c) % 2147483647) AS h
+                FROM all_docs, unnest(range(1, length(norm) - 15 + 2)) t(i)
+                WHERE length(norm) >= 15
+            ), ng AS (
+                SELECT id, count(*) AS n FROM grams GROUP BY id
+            ), wins AS (
+                SELECT g.id, i, n,
+                       min(h) OVER (PARTITION BY g.id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING) AS fp
+                FROM grams g JOIN ng USING (id)
+            ), fps AS (
+                SELECT DISTINCT id, fp FROM wins WHERE n > 20 AND i <= n - 20 + 1
+                UNION
+                SELECT DISTINCT g.id, h AS fp
+                FROM grams g JOIN ng USING (id) WHERE n <= 20
+            ), sizes AS (
+                SELECT fp FROM fps GROUP BY fp
+                HAVING count(*) > 1 AND count(*) <= 2000
+            )
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fingerprints
+            FROM fps a JOIN fps b USING (fp) JOIN sizes USING (fp)
+            WHERE a.id < b.id
+            GROUP BY 1, 2
+            ORDER BY id_a, id_b
+        """,
+        # q17: portable hyperplane buckets (6 bits) + Hamming-1
+        # multi-probe + exact cosine rerank, all recomputed in SQL.
+        "q17_embedding_bucket_ann": """
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       (SELECT sum(CASE WHEN list_dot_product(
+                                embedding::DOUBLE[],
+                                list_transform(range(0, len(embedding)),
+                                    d -> ((1103515245*(j*len(embedding) + d) + 12345)
+                                          % 2147483647) / 2147483647.0 - 0.5)) > 0
+                            THEN 1 << j ELSE 0 END)
+                        FROM unnest(range(0, 6)) t(j)) AS bucket
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+                FROM b WHERE vec_id < 5
+            ), cand AS (
+                SELECT query_id, b.vec_id,
+                       list_cosine_similarity(b.embedding::DOUBLE[], qe::DOUBLE[]) AS score
+                FROM b, q
+                WHERE bit_count(xor(b.bucket::BIGINT, qb::BIGINT)) <= 1
+            )
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id ASC) AS rank
+                FROM cand) WHERE rank <= 3
         """,
         "q18_doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents

@@ -79,6 +79,16 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(simhash_batch(texts.fillna("")))
 
 
+@F.pandas_udf(T.LongType())
+def simhash64_portable(texts: pd.Series) -> pd.Series:
+    """SQL-replicable signer (functions/portable.py): same SimHash
+    construction, token hash restricted to poly-mod-2^31-1 so a DuckDB
+    oracle can recompute the identical signatures."""
+    from fastqdedup_spark.functions.portable import portable_simhash_batch
+
+    return pd.Series(portable_simhash_batch(texts.fillna("").tolist()))
+
+
 def hamming64(a: "str | Column", b: "str | Column") -> Column:
     """Popcount of XOR between two int64 signature columns — JVM-side
     via bit_count (no UDF)."""
@@ -113,23 +123,33 @@ def simhash_bands(df: DataFrame, sig_col: str = "simhash", n_chunks: int = 4) ->
 
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
-    max_hamming: int = 3, band_freq_cap: int = 10_000,
+    max_hamming: int = 3, portable: bool = False, salt_buckets: int = 8,
 ) -> DataFrame:
     """End-to-end SimHash near-dup pair finder: sign -> pigeonhole band
     (n_chunks = max_hamming+1 guarantees 100% recall at the radius) ->
-    self-join -> exact bit_count verify. Returns (id_a, id_b, hamming)."""
-    signed = df.select(F.col(id_col).alias("nid"), simhash64(F.col(text_col)).alias("simhash"))
-    bands = simhash_bands(signed, n_chunks=max_hamming + 1)
-    sizes = bands.groupBy("band_hash").count().filter(
-        (F.col("count") > 1) & (F.col("count") <= band_freq_cap)
-    )
-    kept = bands.join(F.broadcast(sizes.select("band_hash")), "band_hash")
-    left = kept.select("band_hash", F.col("nid").alias("id_a"), F.col("simhash").alias("sig_a"))
-    right = kept.select("band_hash", F.col("nid").alias("id_b"), F.col("simhash").alias("sig_b"))
+    capped-free salted self-join -> exact bit_count verify. Returns
+    (id_a, id_b, hamming).
+
+    Pigeonhole banding is EXACT, so — like operators/lsh.py's exact
+    schemes — oversized bands are never dropped (that silently lost true
+    pairs); they are salted across bucket-pair reducers instead.
+    `portable=True` swaps in the SQL-replicable signer so a DuckDB
+    oracle can recompute the identical pair set."""
+    from fastqdedup_spark.config import DedupConfig
+    from fastqdedup_spark.operators.lsh import _pairs_from_bands
+
+    signer = simhash64_portable if portable else simhash64
+    signed = df.select(
+        F.col(id_col).alias("nid"), signer(F.col(text_col)).alias("simhash")
+    ).persist()  # consumed twice: band explode + verify join
+    bands = simhash_bands(signed, n_chunks=max_hamming + 1).select("nid", "band_hash")
+    cfg = DedupConfig(salt_buckets=salt_buckets)
+    pairs, _ = _pairs_from_bands(bands, "nid", cfg, cap=None)
+    sa = signed.select(F.col("nid").alias("id_a"), F.col("simhash").alias("sig_a"))
+    sb = signed.select(F.col("nid").alias("id_b"), F.col("simhash").alias("sig_b"))
     return (
-        left.join(right, "band_hash")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", hamming64("sig_a", "sig_b").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )

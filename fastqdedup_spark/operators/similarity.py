@@ -195,17 +195,28 @@ def cosine_dup_pairs(
     return _pairwise_cosine_filter(candidates, vecs, threshold, id_col, vec_col)
 
 
-def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+def _hyperplanes(
+    dim: int, n_bits: int, seed: int, kind: str = "gaussian"
+) -> np.ndarray:
+    """kind="gaussian": seeded standard-normal planes (default).
+    kind="portable": deterministic uniform planes from an integer
+    formula a SQL oracle can recompute exactly (functions/portable.py)
+    — random-projection LSH only needs a symmetric direction
+    distribution, so uniform works the same."""
+    if kind == "portable":
+        from fastqdedup_spark.functions.portable import portable_planes
+
+        return portable_planes(dim, n_bits)
     rng = np.random.default_rng(np.random.SeedSequence([seed, 4242]))
     return rng.standard_normal((dim, n_bits))
 
 
 def add_sign_bucket(
     df: DataFrame, vec_col: str, dim: int, n_bits: int = 12, seed: int = 42,
-    bucket_col: str = "bucket",
+    bucket_col: str = "bucket", plane_kind: str = "gaussian",
 ) -> DataFrame:
     """Random-hyperplane signature -> int bucket (vector SimHash)."""
-    planes = _hyperplanes(dim, n_bits, seed)
+    planes = _hyperplanes(dim, n_bits, seed, plane_kind)
     bc = df.sparkSession.sparkContext.broadcast(planes)
 
     @F.pandas_udf(T.LongType())
@@ -229,6 +240,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     multi_probe: int = 1,
+    plane_kind: str = "gaussian",
 ) -> DataFrame:
     """ANN: equi-join on the sign bucket, exact cosine rerank inside the
     candidate set. The corpus side is bucketed ONCE (persistable as a
@@ -241,10 +253,10 @@ def lsh_topk(
     in exactly the right bucket. multi_probe=1 probes 1 + n_bits
     buckets; 0 restores single-bucket probing. JVM-side bit flips —
     the corpus is never re-hashed or replicated."""
-    c = add_sign_bucket(corpus, vec_col, dim, n_bits, seed).select(
+    c = add_sign_bucket(corpus, vec_col, dim, n_bits, seed, plane_kind=plane_kind).select(
         "bucket", F.col(id_col), F.col(vec_col).alias("cvec")
     )
-    q = add_sign_bucket(queries, vec_col, dim, n_bits, seed).select(
+    q = add_sign_bucket(queries, vec_col, dim, n_bits, seed, plane_kind=plane_kind).select(
         "bucket", F.col(query_id_col), F.col(vec_col).alias("qvec")
     )
     if multi_probe > 0:

@@ -35,10 +35,21 @@ from fastqdedup_spark.functions.minhash import shingle_window_hashes
 
 
 def winnowing_fingerprints_batch(
-    texts: "pd.Series | list[str]", k: int, w: int
+    texts: "pd.Series | list[str]", k: int, w: int, portable: bool = False
 ) -> list[np.ndarray]:
-    """Per-row arrays of distinct winnowed fingerprints (int64)."""
-    H, starts, counts = shingle_window_hashes(texts, k)
+    """Per-row arrays of distinct winnowed fingerprints (int64).
+
+    portable=True swaps the 64-bit gram hash for the SQL-replicable
+    poly-mod-2^31-1 fold (functions/portable.py) so a DuckDB oracle can
+    recompute the identical fingerprint sets. The winnowed SET is
+    tie-rule-independent (min VALUE per window), so SQL `min() OVER
+    window` reproduces it exactly."""
+    if portable:
+        from fastqdedup_spark.functions.portable import portable_window_hashes
+
+        H, starts, counts = portable_window_hashes(list(texts), k)
+    else:
+        H, starts, counts = shingle_window_hashes(texts, k)
     out = []
     for i in range(len(starts)):
         hs = H[starts[i] : starts[i] + counts[i]]
@@ -59,7 +70,7 @@ def winnowing_fingerprints_batch(
 
 def winnowing_fingerprints(
     df: DataFrame, id_col: str = "id", text_col: str = "content_norm",
-    k: int = 25, w: int = 40,
+    k: int = 25, w: int = 40, portable: bool = False,
 ) -> DataFrame:
     """(id, fingerprint) exploded — any shared substring of length >=
     w + k - 1 (~64 chars at defaults) produces a shared fingerprint."""
@@ -67,7 +78,9 @@ def winnowing_fingerprints(
 
     def gen(it):
         for pdf in it:
-            fps = winnowing_fingerprints_batch(pdf[text_col].fillna(""), k, w)
+            fps = winnowing_fingerprints_batch(
+                pdf[text_col].fillna(""), k, w, portable=portable
+            )
             lens = np.fromiter((len(f) for f in fps), dtype=np.int64, count=len(fps))
             yield pd.DataFrame(
                 {
@@ -82,15 +95,20 @@ def winnowing_fingerprints(
 def substring_dup_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "content_norm",
     k: int = 25, w: int = 40, fingerprint_cap: int = 2000,
+    portable: bool = False,
 ) -> DataFrame:
     """Documents sharing >= 1 winnowed fingerprint, with the count of
     shared fingerprints as a match-strength score. Mega-fingerprints
-    (boilerplate) are capped like LSH mega-bands."""
-    fps = winnowing_fingerprints(df, id_col, text_col, k, w)
+    (boilerplate) are capped like LSH mega-bands — winnowing is a
+    SAMPLING tier (recall bounded by w+k-1 anyway), so capping is a
+    documented precision/cost trade, unlike the exact pigeonhole
+    schemes where it would break a guarantee. The sizes table is
+    corpus-scaled: join strategy stays with AQE."""
+    fps = winnowing_fingerprints(df, id_col, text_col, k, w, portable=portable)
     sizes = fps.groupBy("fingerprint").count().filter(
         (F.col("count") > 1) & (F.col("count") <= fingerprint_cap)
     )
-    kept = fps.join(F.broadcast(sizes.select("fingerprint")), "fingerprint")
+    kept = fps.join(sizes.select("fingerprint"), "fingerprint")
     left = kept.select("fingerprint", F.col(id_col).alias("id_a"))
     right = kept.select("fingerprint", F.col(id_col).alias("id_b"))
     return (
