@@ -29,13 +29,20 @@ from pyspark.sql import DataFrame
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame, max_iterations: int = 50, checkpointer=None,
 ) -> tuple[DataFrame, int]:
     """edges: (id_a, id_b) undirected. Returns ((id, cluster_id), rounds).
 
     cluster_id is the minimum id in the component (same type as the id
     columns — use sha256 strings or long ids; strings stay
     collision-free at 10^12 rows where 64-bit hashes would not).
+
+    `checkpointer` (a StageCheckpointer with a durable dir) makes every
+    ROUND resumable: round r's labels persist as stage `cc_round_{r}`,
+    so a job killed mid-CC restarts from its last completed round
+    instead of from round 1 (north_rule: every stage resumes
+    idempotently — the iterative stage included). Without it, rounds
+    are localCheckpoint-ed only (plan truncation, no durability).
     """
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -85,15 +92,20 @@ def connected_components(
         ).select("id", F.least("label", F.coalesce("label2", "label")).alias("label"))
         # one materialization per round carries BOTH the new labels and
         # the change flag; the change count and next frontier are then
-        # cheap scans of the checkpointed result
-        new = (
-            labels.withColumnRenamed("label", "old")
-            .join(shortcut, "id")
-            .select(
+        # cheap scans of the checkpointed result. With a durable
+        # checkpointer the round persists (resume restarts here, not at
+        # round 1); a previously-completed round loads back instantly.
+        def _build(shortcut=shortcut, labels=labels):
+            return labels.withColumnRenamed("label", "old").join(
+                shortcut, "id"
+            ).select(
                 "id", "label", (F.col("label") < F.col("old")).alias("changed")
             )
-            .localCheckpoint(eager=True)
-        )
+
+        if checkpointer is not None and checkpointer.base:
+            new = checkpointer.stage(f"cc_round_{rounds:03d}", _build)
+        else:
+            new = _build().localCheckpoint(eager=True)
         labels = new.select("id", "label")
         frontier = new.filter("changed").select("id", "label")
         if new.filter("changed").limit(1).isEmpty():

@@ -84,7 +84,9 @@ def dedup_keys(
     edges = ck.stage(
         "edges", lambda: verify_pairs_distance(pairs, counted, cfg)
     )
-    labels, rounds = connected_components(edges, cfg.cc_max_iterations)
+    labels, rounds = connected_components(
+        edges, cfg.cc_max_iterations, checkpointer=ck
+    )
     clusters = _fill_singletons(counted, labels, "key")
     survivors = ck.stage(
         "survivors",
@@ -202,7 +204,7 @@ def dedup_files(
         .select(F.col("sha_a").alias("id_a"), F.col("sha_b").alias("id_b"))
     )
     labels, rounds = connected_components(
-        edges.select("id_a", "id_b"), cfg.cc_max_iterations
+        edges.select("id_a", "id_b"), cfg.cc_max_iterations, checkpointer=ck
     )
     clusters = ck.stage(
         "clusters", lambda: _fill_singletons(distinct.select("sha", "cnt"), labels, "sha")

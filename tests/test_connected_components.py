@@ -39,6 +39,36 @@ def test_disjoint_components_and_determinism(spark):
     }
 
 
+def test_cc_resumes_from_last_completed_round(spark, tmp_path):
+    """VERDICT r1 #5 (north_rule: every stage resumes idempotently):
+    a CC killed at round k must resume at round k+1, not round 1, and
+    the resumed result must equal an uninterrupted run."""
+    from fastqdedup_spark.checkpoint import StageCheckpointer
+    from fastqdedup_spark.config import DedupConfig
+
+    n = 120
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
+    # "kill at round 2": run with an iteration cap of 2 (partial labels)
+    ck1 = StageCheckpointer(spark, cfg)
+    _, r1 = connected_components(edges, max_iterations=2, checkpointer=ck1)
+    assert r1 == 2 and ck1.has("cc_round_002")
+    # resume: rounds 1-2 load from disk, later rounds compute fresh
+    ck2 = StageCheckpointer(spark, cfg)
+    labels, rounds = connected_components(edges, max_iterations=50, checkpointer=ck2)
+    resumed = [k for k, v in ck2.metrics.as_dict().items() if k.endswith("resumed")]
+    assert "cc_round_001.resumed" in resumed and "cc_round_002.resumed" in resumed
+    assert rounds > 2
+    got = _labels(labels)
+    # equals the uninterrupted (non-durable) run
+    fresh = _labels(connected_components(edges, max_iterations=50)[0])
+    assert got == fresh
+    assert set(got.values()) == {"n0000"}
+
+
 def test_star_graph_one_round_ish(spark):
     edges = spark.createDataFrame(
         [("hub", f"leaf{i}") for i in range(50)], "id_a string, id_b string"
