@@ -33,6 +33,13 @@ class DedupConfig:
     strip_boilerplate_frac: float = 0.0  # >0: strip lines present in more than this doc fraction before shingling
     salt_buckets: int = 8           # salting factor for hot band shuffle
     pair_partitions: int = 0        # 0 = leave to AQE
+    # broadcast per-distinct-doc METADATA tables (packed est sketches,
+    # shingle sizes) into the candidate/verify joins so the skew flood
+    # dies map-side before any shuffle. ~150 B/doc: fine to ~50M distinct
+    # contents per executor heap; flip off beyond that and the same
+    # plans run as shuffled equi-joins. A static knob, not a mid-plan
+    # count(): the decision costs no action and no barrier.
+    est_broadcast: bool = True
     # -- execution ----------------------------------------------------------
     checkpoint_dir: str = ""        # empty = localCheckpoint only, no resume
     input_id: str = ""              # identifies the INPUT dataset (path + cheap

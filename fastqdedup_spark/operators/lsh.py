@@ -66,21 +66,24 @@ def _pairs_from_bands(
         F.max("band_size").alias("max_band_size"),
         capped_expr.alias("capped_bands"),
     )
-    eligible = sizes.filter(F.col("band_size") > 1)
-    if cap is not None:
-        eligible = eligible.filter(F.col("band_size") <= cap)
-    # Explicit fan-out for the self-join: its INPUT is small (ids +
-    # band hashes) so AQE's byte-based coalescing would collapse it to a
-    # couple of partitions — but the join OUTPUT is quadratic in band
-    # size and the est-prefilter downstream is compute-heavy. A
-    # user-specified partition count is exempt from AQE coalescing.
-    # `eligible` is deliberately NOT broadcast-hinted: it has one row per
-    # distinct band (corpus-sized at 100 TB); AQE broadcasts it at small
-    # scale from runtime shuffle stats and shuffle-joins it at large.
+    # Band sizes attach via a count-over-partition WINDOW on the same
+    # hash partitioning the self-join needs: ONE shuffle total, no
+    # sizes join, no broadcast of a corpus-scaled band table (one row
+    # per distinct band does not broadcast at 100 TB). The explicit
+    # repartition also fans the downstream quadratic self-join +
+    # est-prefilter out to full parallelism (a user repartition is
+    # exempt from AQE byte-based coalescing, which would starve it).
+    from pyspark.sql import Window
+
     npart = cfg.pair_partitions or bands.sparkSession.sparkContext.defaultParallelism
-    kept = bands.join(eligible, "band_hash").repartition(
-        npart, "band_hash"
+    w = Window.partitionBy("band_hash")
+    kept = (
+        bands.repartition(npart, "band_hash")
+        .withColumn("band_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("band_size") > 1)
     )
+    if cap is not None:
+        kept = kept.filter(F.col("band_size") <= cap)
 
     def self_join(df: DataFrame) -> DataFrame:
         left = df.select("band_hash", F.col(id_col).alias("id_a"))

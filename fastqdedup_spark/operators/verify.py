@@ -114,16 +114,19 @@ def est_prefilter(
     j == threshold with 128 bins, P ~ 2e-6); the exact verify UDF keeps
     precision exact. `sigs` must carry (id_col, sig_packed).
 
-    Join strategy is left to AQE: its runtime shuffle statistics see the
-    actual sketch-table size and convert to broadcast when small — no
-    mid-plan count() action (which added a pipeline barrier) and no
-    driver-OOM risk from force-broadcasting a corpus-sized table."""
+    Map-side-ness is the point: with cfg.est_broadcast (default) the
+    sketch table broadcasts EXPLICITLY, so the quadratic raw pair
+    stream is filtered inside the same stage that produced it — it
+    never hits an exchange. The knob is static configuration, not a
+    mid-plan count() (no action, no barrier); beyond ~50M distinct
+    contents flip it off and the joins run shuffled."""
+    hint = F.broadcast if cfg.est_broadcast else (lambda df: df)
     ga = sigs.select(F.col(id_col).alias("id_a"), F.col("sig_packed").alias("sig_a"))
     gb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig_packed").alias("sig_b"))
     min_matches = int((cfg.jaccard_threshold - cfg.est_margin) * cfg.num_perm)
     return (
-        pairs.join(ga, "id_a")
-        .join(gb, "id_b")
+        pairs.join(hint(ga), "id_a")
+        .join(hint(gb), "id_b")
         .filter(est_jaccard_matches(cfg) >= min_matches)
         .select("id_a", "id_b")
     )
@@ -145,11 +148,13 @@ def verify_pairs_jaccard(
     identical, but skewed candidate floods (boilerplate bands) shrink
     inside whole-stage codegen."""
     jac = make_jaccard_udf(cfg.shingle_k)
-    # Join strategies are left to AQE: runtime shuffle stats broadcast
-    # the small metadata tables (sketches, sizes) automatically. The
-    # CONTENT table never broadcasts in practice — it exceeds the
-    # autoBroadcastJoinThreshold at any real scale, and a shuffled
-    # equi-join on id is the scan-shaped plan that survives 100x data.
+    # Small per-doc METADATA (sketches, shingle sizes) broadcasts
+    # explicitly under cfg.est_broadcast so pruning happens map-side.
+    # The CONTENT table never broadcasts — it exceeds any broadcast
+    # budget at real scale and building the broadcast is driver-serial;
+    # its join stays a shuffled equi-join on id (the scan-shaped plan
+    # that survives 100x data).
+    hint = F.broadcast if cfg.est_broadcast else (lambda df: df)
     if not skip_est and "sig_packed" in contents.columns and cfg.est_margin > 0:
         pairs = est_prefilter(
             pairs, contents.select(id_col, "sig_packed"), cfg, id_col
@@ -168,8 +173,8 @@ def verify_pairs_jaccard(
             F.col(id_col).alias("id_b"), F.col(size_col).alias("sz_b")
         )
         pairs = (
-            pairs.join(sa, "id_a")
-            .join(sb, "id_b")
+            pairs.join(hint(sa), "id_a")
+            .join(hint(sb), "id_b")
             .filter(
                 (F.greatest("sz_a", "sz_b") == 0)
                 | (

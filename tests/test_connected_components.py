@@ -18,7 +18,7 @@ def test_path_graph_converges_in_log_rounds(spark):
     edges = spark.createDataFrame(
         [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)], "id_a string, id_b string"
     )
-    labels, rounds = connected_components(edges, max_iterations=50)
+    labels, rounds = connected_components(edges, max_iterations=50, driver_max_edges=0)
     got = _labels(labels)
     assert len(got) == n
     assert set(got.values()) == {"n0000"}
@@ -30,7 +30,7 @@ def test_disjoint_components_and_determinism(spark):
         [("b", "a"), ("c", "b"), ("x", "y"), ("z", "y"), ("p", "q")],
         "id_a string, id_b string",
     )
-    labels, _ = connected_components(edges)
+    labels, _ = connected_components(edges, driver_max_edges=0)
     got = _labels(labels)
     assert got == {
         "a": "a", "b": "a", "c": "a",
@@ -54,17 +54,17 @@ def test_cc_resumes_from_last_completed_round(spark, tmp_path):
     cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"))
     # "kill at round 2": run with an iteration cap of 2 (partial labels)
     ck1 = StageCheckpointer(spark, cfg)
-    _, r1 = connected_components(edges, max_iterations=2, checkpointer=ck1)
+    _, r1 = connected_components(edges, max_iterations=2, checkpointer=ck1, driver_max_edges=0)
     assert r1 == 2 and ck1.has("cc_round_002")
     # resume: rounds 1-2 load from disk, later rounds compute fresh
     ck2 = StageCheckpointer(spark, cfg)
-    labels, rounds = connected_components(edges, max_iterations=50, checkpointer=ck2)
+    labels, rounds = connected_components(edges, max_iterations=50, checkpointer=ck2, driver_max_edges=0)
     resumed = [k for k, v in ck2.metrics.as_dict().items() if k.endswith("resumed")]
     assert "cc_round_001.resumed" in resumed and "cc_round_002.resumed" in resumed
     assert rounds > 2
     got = _labels(labels)
     # equals the uninterrupted (non-durable) run
-    fresh = _labels(connected_components(edges, max_iterations=50)[0])
+    fresh = _labels(connected_components(edges, max_iterations=50, driver_max_edges=0)[0])
     assert got == fresh
     assert set(got.values()) == {"n0000"}
 
@@ -73,7 +73,23 @@ def test_star_graph_one_round_ish(spark):
     edges = spark.createDataFrame(
         [("hub", f"leaf{i}") for i in range(50)], "id_a string, id_b string"
     )
-    labels, rounds = connected_components(edges)
+    labels, rounds = connected_components(edges, driver_max_edges=0)
     got = _labels(labels)
     assert set(got.values()) == {"hub"}
     assert rounds <= 3
+
+
+def test_driver_fast_path_equals_distributed(spark):
+    """Small graphs run exact union-find on the driver (rounds == 0);
+    labels must equal the distributed loop's."""
+    import random
+
+    rng = random.Random(5)
+    edges = spark.createDataFrame(
+        [(f"v{rng.randrange(400):03d}", f"v{rng.randrange(400):03d}") for _ in range(300)],
+        "id_a string, id_b string",
+    ).filter("id_a != id_b")
+    fast, r0 = connected_components(edges)
+    slow, _ = connected_components(edges, driver_max_edges=0)
+    assert r0 == 0
+    assert _labels(fast) == _labels(slow)
