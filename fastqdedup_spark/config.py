@@ -31,8 +31,12 @@ class DedupConfig:
     # -- skew / scale -------------------------------------------------------
     band_freq_cap: int = 2000       # drop bands with more members (f^2 pair blowup)
     strip_boilerplate_frac: float = 0.0  # >0: strip lines present in more than this doc fraction before shingling
-    salt_buckets: int = 8           # salting factor for hot band shuffle
-    pair_partitions: int = 0        # 0 = leave to AQE
+    # size-adaptive band salting: each band splits its self-join into
+    # ceil(size^2 / pairs_per_task) bucket pairs so no task produces
+    # more than ~this many candidate pairs (uniform task heights across
+    # any band-size distribution)
+    pairs_per_task: int = 2_000_000
+    pair_partitions: int = 0        # 0 = defaultParallelism
     # broadcast per-distinct-doc METADATA tables (packed est sketches,
     # shingle sizes) into the candidate/verify joins so the skew flood
     # dies map-side before any shuffle. ~150 B/doc: fine to ~50M distinct

@@ -123,7 +123,7 @@ def simhash_bands(df: DataFrame, sig_col: str = "simhash", n_chunks: int = 4) ->
 
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
-    max_hamming: int = 3, portable: bool = False, salt_buckets: int = 8,
+    max_hamming: int = 3, portable: bool = False,
 ) -> DataFrame:
     """End-to-end SimHash near-dup pair finder: sign -> pigeonhole band
     (n_chunks = max_hamming+1 guarantees 100% recall at the radius) ->
@@ -132,7 +132,7 @@ def simhash_near_dup_pairs(
 
     Pigeonhole banding is EXACT, so — like operators/lsh.py's exact
     schemes — oversized bands are never dropped (that silently lost true
-    pairs); they are salted across bucket-pair reducers instead.
+    pairs); size-adaptive bucket-pair salting spreads them instead.
     `portable=True` swaps in the SQL-replicable signer so a DuckDB
     oracle can recompute the identical pair set."""
     from fastqdedup_spark.config import DedupConfig
@@ -143,7 +143,7 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("nid"), signer(F.col(text_col)).alias("simhash")
     ).persist()  # consumed twice: band explode + verify join
     bands = simhash_bands(signed, n_chunks=max_hamming + 1).select("nid", "band_hash")
-    cfg = DedupConfig(salt_buckets=salt_buckets)
+    cfg = DedupConfig()
     pairs, _ = _pairs_from_bands(bands, "nid", cfg, cap=None)
     sa = signed.select(F.col("nid").alias("id_a"), F.col("simhash").alias("sig_a"))
     sb = signed.select(F.col("nid").alias("id_b"), F.col("simhash").alias("sig_b"))

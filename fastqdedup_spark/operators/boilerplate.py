@@ -16,7 +16,9 @@ each document's lines JVM-side (split + filter + array_join, no UDF).
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 
@@ -48,19 +50,23 @@ def strip_boilerplate(
     out_col: str = "content_stripped",
 ) -> DataFrame:
     """Removes every boilerplate line from `content_col` (whole-line,
-    trim-matched). JVM-side: the line set rides a broadcast join into an
-    array_contains filter inside higher-order functions."""
-    lines = [r.line for r in boiler.collect()]
+    trim-matched). The line set (bounded by common_lines' max_lines) is
+    a broadcast variable probed as a hash set inside one Arrow-batched
+    UDF — O(1) per line and zero plan bloat, vs. the previous literal
+    F.array in the plan that codegen linear-scanned per line and that
+    grew the plan itself with the cap. Map-side: no shuffle, no join."""
+    lines = frozenset(r.line for r in boiler.collect())
     if not lines:
         return df.withColumn(out_col, F.col(content_col))
-    lit_set = F.array(*[F.lit(l) for l in lines])
-    return df.withColumn(
-        out_col,
-        F.array_join(
-            F.filter(
-                F.split(F.col(content_col), "\n"),
-                lambda ln: ~F.array_contains(lit_set, F.trim(ln)),
-            ),
-            "\n",
-        ),
-    )
+    bc = df.sparkSession.sparkContext.broadcast(lines)
+
+    @F.pandas_udf(T.StringType())
+    def strip(col: pd.Series) -> pd.Series:
+        s = bc.value
+        return col.map(
+            lambda t: "\n".join(
+                ln for ln in (t or "").split("\n") if ln.strip() not in s
+            )
+        )
+
+    return df.withColumn(out_col, strip(F.col(content_col)))

@@ -67,12 +67,9 @@ def _pairs_from_bands(
         capped_expr.alias("capped_bands"),
     )
     # Band sizes attach via a count-over-partition WINDOW on the same
-    # hash partitioning the self-join needs: ONE shuffle total, no
-    # sizes join, no broadcast of a corpus-scaled band table (one row
-    # per distinct band does not broadcast at 100 TB). The explicit
-    # repartition also fans the downstream quadratic self-join +
-    # est-prefilter out to full parallelism (a user repartition is
-    # exempt from AQE byte-based coalescing, which would starve it).
+    # hash partitioning the self-join needs: no sizes join, no broadcast
+    # of a corpus-scaled band table (one row per distinct band does not
+    # broadcast at 100 TB).
     from pyspark.sql import Window
 
     npart = cfg.pair_partitions or bands.sparkSession.sparkContext.defaultParallelism
@@ -84,43 +81,43 @@ def _pairs_from_bands(
     )
     if cap is not None:
         kept = kept.filter(F.col("band_size") <= cap)
-
-    def self_join(df: DataFrame) -> DataFrame:
-        left = df.select("band_hash", F.col(id_col).alias("id_a"))
-        right = df.select("band_hash", F.col(id_col).alias("id_b"))
-        return (
-            left.join(right, "band_hash")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-
-    s = cfg.salt_buckets
-    hot_cut = max(cfg.band_freq_cap // max(s, 1), 64)
-    if s > 1:
-        # explicit hot-band salting (north_rule): bands above `hot_cut`
-        # members split their self-join into bucket pairs — each member
-        # hashes to one of S buckets, the left side replicates once per
-        # partner bucket, and the join key (band, bucket) spreads a band
-        # with f members over S^2 tasks of ~(f/S)^2 work instead of one
-        # f^2 reducer. Small bands keep the plain (cheaper) join.
-        cold = kept.filter(F.col("band_size") <= hot_cut)
-        hot = kept.filter(F.col("band_size") > hot_cut)
-        left = hot.select(
-            "band_hash", F.col(id_col).alias("id_a")
-        ).withColumn("_v", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
-        right = hot.select(
-            "band_hash",
-            F.col(id_col).alias("id_b"),
-            F.pmod(F.xxhash64(id_col), F.lit(s)).alias("_v"),
-        )
-        hot_pairs = (
-            left.join(right, ["band_hash", "_v"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        raw = self_join(cold).unionByName(hot_pairs)
-    else:
-        raw = self_join(kept)
+    # SIZE-ADAPTIVE bucket-pair salting (north_rule skew handling): a
+    # band with f members emits f^2/2 pairs in ONE reducer under a plain
+    # self-join, and even sub-cap bands straggle when several hash into
+    # the same task (measured: the pair stage was flat 8 -> 32 cores).
+    # Every band therefore splits into S = ceil(f^2 / pairs_per_task)
+    # bucket pairs: the right side hashes each member to one of S
+    # buckets, the left side replicates once per bucket, and the join
+    # key (band, bucket) spreads the band over S granules of at most
+    # ~pairs_per_task output each — uniform task heights regardless of
+    # the band-size distribution, exact coverage for any S. Most bands
+    # get S=1 (no replication). The explicit repartition on the join
+    # key pins the stage at full parallelism (user repartitions are
+    # exempt from AQE byte-based coalescing, which would starve the
+    # quadratic-OUTPUT stage down to a few tasks by INPUT bytes).
+    s_expr = F.least(
+        F.greatest(
+            F.ceil(F.col("band_size") * F.col("band_size") / F.lit(cfg.pairs_per_task)),
+            F.lit(1),
+        ),
+        F.lit(4096),
+    ).cast("int")
+    kept = kept.withColumn("_s", s_expr)
+    left = (
+        kept.select("band_hash", "_s", F.col(id_col).alias("id_a"))
+        .withColumn("_v", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+        .repartition(npart, "band_hash", "_v")
+    )
+    right = kept.select(
+        "band_hash",
+        F.col(id_col).alias("id_b"),
+        F.pmod(F.xxhash64(id_col), F.col("_s")).alias("_v"),
+    ).repartition(npart, "band_hash", "_v")
+    raw = (
+        left.join(right, ["band_hash", "_v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
     if prefilter is not None:
         raw = prefilter(raw)
     return raw.distinct(), metrics
@@ -136,8 +133,15 @@ def minhash_candidate_pairs(
     When `sig_packed` is present, the estimated-Jaccard prefilter runs
     INSIDE candidate generation — between the band self-join and the
     pair `distinct` — so the quadratic boilerplate-skew flood is cut
-    map-side before it ever hits a shuffle. Callers should then pass
-    skip_est=True to the verify stage."""
+    before it ever hits an exchange. Callers should then pass
+    skip_est=True to the verify stage.
+
+    Measured design note (192k files, 60M raw pairs): probing the
+    broadcast sketch map costs about the same as carrying the 128-byte
+    sketch through the band shuffle as a payload column at 32 cores and
+    beats it at 8 (the payload fattens every shuffled band row 9x);
+    probe it is, with cfg.est_broadcast=False falling back to shuffled
+    joins past the broadcast ceiling."""
     bands = signed.select(
         F.col(id_col), F.explode("band_hash").alias("band_hash")
     )

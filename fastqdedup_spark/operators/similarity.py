@@ -190,7 +190,7 @@ def cosine_dup_pairs(
     # reuse the text tiers' salted band self-join; cap=None — a hot
     # bucket here is a genuine mass-duplicate cluster whose pairs are
     # real, so it is salted across reducers rather than dropped
-    cfg = DedupConfig(salt_buckets=8)
+    cfg = DedupConfig()
     candidates, _ = _pairs_from_bands(bands, id_col, cfg, cap=None)
     return _pairwise_cosine_filter(candidates, vecs, threshold, id_col, vec_col)
 

@@ -86,15 +86,25 @@ def make_jaccard_udf(k: int):
     return _udf
 
 
-def est_jaccard_matches(cfg: DedupConfig) -> "F.Column":
+def est_jaccard_matches(
+    cfg: DedupConfig, sig_a: str = "sig_a", sig_b: str = "sig_b"
+) -> "F.Column":
     """Matching-bin count between `sig_a`/`sig_b` packed-sketch columns
     via per-byte shift-compare on the packed longs: a flat codegen
-    expression, no overflow-sensitive bit tricks (ANSI-safe)."""
+    expression, no overflow-sensitive bit tricks (ANSI-safe).
+
+    Perf note (measured, Spark 4.1, 5M rows x local[8]): this flat
+    128-comparison chain runs at ~0.65 us/row inside whole-stage
+    codegen. Do NOT "optimize" it into SWAR zero-byte collapses
+    (masked OR-shift pyramids + bit_count): every such variant fell
+    out of codegen and ran 20-30x SLOWER interpreted (57-75 s on the
+    same input). Flat chains of simple comparisons are what Catalyst
+    splits and compiles well."""
     n_words = cfg.num_perm // 8
     matches = F.lit(0)
     for w in range(n_words):
-        xa = F.element_at("sig_a", w + 1)
-        xb = F.element_at("sig_b", w + 1)
+        xa = F.element_at(sig_a, w + 1)
+        xb = F.element_at(sig_b, w + 1)
         for byte in range(8):
             sh = 8 * byte
             matches = matches + (

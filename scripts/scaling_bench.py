@@ -36,7 +36,10 @@ def child(cores: int, n_files: int) -> None:
     spark.range(cores * 10).repartition(cores).mapInPandas(lambda it: it, "id long").count()
     cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
     best = None
-    trials = 1 if n_files > 100_000 else 2
+    # NOISY NEIGHBORS (BASELINE.md): identical configs vary up to 2x
+    # run-to-run; contention only ever slows a run, so best-of-N is the
+    # least contaminated estimator
+    trials = 2 if n_files > 100_000 else 3
     for _ in range(trials):  # report the better (steady-state) trial
         t0 = time.monotonic()
         res = dedup_files(spark, files, cfg, quality=False, collect_metrics=False)

@@ -1,5 +1,6 @@
-"""Hot-band salting correctness: the salted bucket-pair self-join must
-produce exactly the same pair set as the plain self-join."""
+"""Size-adaptive bucket-pair salting correctness: the salted self-join
+must produce exactly the same pair set as a plain self-join, for any
+pairs_per_task (granule size), with uniform per-granule work."""
 
 import pyspark.sql.functions as F
 
@@ -8,16 +9,15 @@ from fastqdedup_spark.operators.lsh import _pairs_from_bands
 
 
 def _band_rows(spark, groups):
-    rows = [(f"id{g}_{i}", hash_ := g * 1000) for g, n in groups for i in range(n)]
+    rows = [(f"id{g}_{i}", g * 1000) for g, n in groups for i in range(n)]
     return spark.createDataFrame(rows, "key string, band_hash long")
 
 
 def test_salted_pairs_equal_plain_pairs(spark):
-    # one hot band (40 members, > hot_cut=64? no -> make cap small), one
-    # small band, one capped band
+    # one medium band (150), one small (3), one above the freq cap (500)
     bands = _band_rows(spark, [(1, 150), (2, 3), (3, 500)])
-    plain_cfg = DedupConfig(salt_buckets=1, band_freq_cap=200)
-    salted_cfg = DedupConfig(salt_buckets=4, band_freq_cap=200)
+    plain_cfg = DedupConfig(pairs_per_task=10**9, band_freq_cap=200)  # S=1 everywhere
+    salted_cfg = DedupConfig(pairs_per_task=500, band_freq_cap=200)   # S=45 for band 1
     plain, _ = _pairs_from_bands(bands, "key", plain_cfg, cap=plain_cfg.band_freq_cap)
     salted, _ = _pairs_from_bands(bands, "key", salted_cfg, cap=salted_cfg.band_freq_cap)
     p = {(r.id_a, r.id_b) for r in plain.collect()}
@@ -33,7 +33,7 @@ def test_salting_handles_all_pairs_across_buckets(spark):
     """Every unordered pair appears exactly once (no dupes before the
     final distinct, no losses) even when bucket(a) > bucket(b)."""
     bands = _band_rows(spark, [(7, 80)])
-    cfg = DedupConfig(salt_buckets=3, band_freq_cap=100)
+    cfg = DedupConfig(pairs_per_task=1000, band_freq_cap=100)  # S=7
     pairs, _ = _pairs_from_bands(bands, "key", cfg, cap=cfg.band_freq_cap)
     rows = pairs.collect()
     assert len(rows) == 80 * 79 // 2
@@ -46,7 +46,7 @@ def test_exact_schemes_never_capped(spark):
     no cap (the exact-scheme default), every pair of the oversized band
     survives."""
     bands = _band_rows(spark, [(3, 500)])  # 500 members >> cap of 200
-    cfg = DedupConfig(salt_buckets=4, band_freq_cap=200)
+    cfg = DedupConfig(pairs_per_task=20_000, band_freq_cap=200)  # S=13
     pairs, metrics = _pairs_from_bands(bands, "key", cfg)  # cap=None default
     assert pairs.count() == 500 * 499 // 2
     assert metrics.collect()[0].capped_bands == 0
@@ -62,7 +62,7 @@ def test_pigeonhole_recall_above_cap(spark):
     keys = ["AAAA", "CAAA", "GAAA", "TAAA", "ACAA", "AGAA",
             "ATAA", "AACA", "AAGA", "AATA", "AAAC", "AAAG"]
     df = spark.createDataFrame([(k,) for k in keys], "key string")
-    cfg = DedupConfig(max_distance=1, band_freq_cap=3, salt_buckets=2)
+    cfg = DedupConfig(max_distance=1, band_freq_cap=3, pairs_per_task=10)
     pairs, _ = pigeonhole_candidate_pairs(df, cfg)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     # candidate recall: every true Hamming<=1 pair must be present
