@@ -40,7 +40,7 @@ from fastqdedup_spark.config import DedupConfig
 
 def _pairs_from_bands(
     bands: DataFrame, id_col: str, cfg: DedupConfig, prefilter=None,
-    cap: int | None = None,
+    cap: int | None = None, extra_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(id, band_hash) -> distinct (id_a, id_b) with id_a < id_b, plus a
     one-row metrics DataFrame. The generic tail of all three schemes.
@@ -120,11 +120,13 @@ def _pairs_from_bands(
     )
     if prefilter is not None:
         raw = prefilter(raw)
-    return raw.distinct(), metrics
+    out_cols = ["id_a", "id_b"] + (extra_cols or [])
+    return raw.select(*out_cols).distinct(), metrics
 
 
 def minhash_candidate_pairs(
-    signed: DataFrame, cfg: DedupConfig, id_col: str = "sha"
+    signed: DataFrame, cfg: DedupConfig, id_col: str = "sha",
+    keep_est: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """`signed` must carry `band_hash: array<bigint>` (from
     functions.minhash.add_signature_columns). Band index is already
@@ -141,7 +143,13 @@ def minhash_candidate_pairs(
     sketch through the band shuffle as a payload column at 32 cores and
     beats it at 8 (the payload fattens every shuffled band row 9x);
     probe it is, with cfg.est_broadcast=False falling back to shuffled
-    joins past the broadcast ceiling."""
+    joins past the broadcast ceiling.
+
+    `keep_est=True` carries the matching-bin count through as an
+    `est_matches` column (deterministic per pair, so the distinct is
+    unaffected) — the pipeline uses it to split candidates into
+    est-certain accepts and a borderline band that alone needs the
+    exact (Python) verify."""
     bands = signed.select(
         F.col(id_col), F.explode("band_hash").alias("band_hash")
     )
@@ -151,8 +159,11 @@ def minhash_candidate_pairs(
         sigs = signed.select(id_col, "sig_packed")
         return _pairs_from_bands(
             bands, id_col, cfg,
-            prefilter=lambda raw: est_prefilter(raw, sigs, cfg, id_col),
+            prefilter=lambda raw: est_prefilter(
+                raw, sigs, cfg, id_col, keep_est=keep_est
+            ),
             cap=cfg.band_freq_cap,
+            extra_cols=["est_matches"] if keep_est else None,
         )
     return _pairs_from_bands(bands, id_col, cfg, cap=cfg.band_freq_cap)
 

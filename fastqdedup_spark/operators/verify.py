@@ -116,6 +116,7 @@ def est_jaccard_matches(
 
 def est_prefilter(
     pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig, id_col: str,
+    keep_est: bool = False,
 ) -> DataFrame:
     """Estimated-Jaccard pre-filter (JVM-side): the semantic-skew pair
     flood (boilerplate headers -> quadratically many j~0.2 candidates)
@@ -134,12 +135,14 @@ def est_prefilter(
     ga = sigs.select(F.col(id_col).alias("id_a"), F.col("sig_packed").alias("sig_a"))
     gb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig_packed").alias("sig_b"))
     min_matches = int((cfg.jaccard_threshold - cfg.est_margin) * cfg.num_perm)
-    return (
+    out = (
         pairs.join(hint(ga), "id_a")
         .join(hint(gb), "id_b")
-        .filter(est_jaccard_matches(cfg) >= min_matches)
-        .select("id_a", "id_b")
+        .withColumn("est_matches", est_jaccard_matches(cfg))
+        .filter(F.col("est_matches") >= min_matches)
     )
+    cols = ["id_a", "id_b"] + (["est_matches"] if keep_est else [])
+    return out.select(*cols)
 
 
 def verify_pairs_jaccard(

@@ -172,24 +172,41 @@ def dedup_files(
     # where 64 bits had P ~ 0.03 — and a collision here is NOT benign
     # (the nid->sha fan-out join would attach verified edges to both
     # shas and falsely merge unrelated clusters).
-    pairs_lazy, band_metrics = minhash_candidate_pairs(signed, cfg, id_col="nid")
+    pairs_lazy, band_metrics = minhash_candidate_pairs(
+        signed, cfg, id_col="nid", keep_est=cfg.est_autoaccept
+    )
     # pairs feeds only the verify stage and edges feed only the CC
     # sym-checkpoint: both fuse into their consumer (one fewer pipeline
     # barrier each) — unless metrics mode counts them or a durable
     # checkpoint dir wants them persisted for resume
     fuse = not collect_metrics
     pairs = ck.stage("pairs", lambda: pairs_lazy, fuse=fuse)
-    edges_nid = ck.stage(
-        "edges",
-        lambda: verify_pairs_jaccard(
-            pairs,
+
+    def _build_edges() -> DataFrame:
+        cand = pairs
+        certain = None
+        if cfg.est_autoaccept and "est_matches" in cand.columns:
+            # est-certainty split: pairs whose sketch estimate clears
+            # threshold + margin are accepted outright (false-accept
+            # bound symmetric to the prefilter's false-drop bound, see
+            # DedupConfig.est_autoaccept); only the borderline band
+            # pays for the exact Arrow-side Jaccard.
+            hi = min(
+                int((cfg.jaccard_threshold + cfg.est_margin) * cfg.num_perm),
+                cfg.num_perm,
+            )
+            certain = cand.filter(F.col("est_matches") >= hi).select("id_a", "id_b")
+            cand = cand.filter(F.col("est_matches") < hi)
+        verified = verify_pairs_jaccard(
+            cand.select("id_a", "id_b"),
             signed.select("nid", "content_norm", "n_shingles", "sig_packed"),
             cfg,
             id_col="nid",
             skip_est=True,
-        ),
-        fuse=fuse,
-    )
+        ).select("id_a", "id_b")
+        return verified if certain is None else certain.unionByName(verified)
+
+    edges_nid = ck.stage("edges", _build_edges, fuse=fuse)
     # map verified edges back to full shas; the nid map has one row per
     # distinct content (corpus-sized at scale), so the join strategy is
     # left to AQE — broadcast when small, shuffled equi-join when not.

@@ -56,7 +56,11 @@ def main() -> None:
         return
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     results = {}
-    for cores in (8, 32):
+    # palindromic side order: the sandbox's external load arrives in
+    # ~10-minute waves, so a fixed (8 then 32) order systematically
+    # exposes one side to more contention. Each side runs at both ends
+    # of the window; best-of per side (contention only ever slows).
+    for cores in (32, 8, 8, 32):
         # pin the whole process tree (JVM, GC, shuffle threads, python
         # workers) to exactly `cores` CPUs — otherwise a local[8] run
         # borrows the other 24 cores for GC/python and the comparison
@@ -67,7 +71,9 @@ def main() -> None:
             capture_output=True, text=True, check=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        rec = json.loads(line)
+        if cores not in results or rec["sec"] < results[cores]["sec"]:
+            results[cores] = rec
         print(line)
     tp8 = results[8]["files_per_sec"]
     tp32 = results[32]["files_per_sec"]
