@@ -207,21 +207,25 @@ def dedup_files(
         return verified if certain is None else certain.unionByName(verified)
 
     edges_nid = ck.stage("edges", _build_edges, fuse=fuse)
-    # map verified edges back to full shas; the nid map has one row per
-    # distinct content (corpus-sized at scale), so the join strategy is
-    # left to AQE — broadcast when small, shuffled equi-join when not.
+    # connected components run in compact nid space (16-byte binary vs
+    # 64-char sha strings — 4x less through every CC round and through
+    # the driver fast path). nid is the sha's hex prefix, so byte order
+    # equals sha order and min-nid labels translate EXACTLY to min-sha
+    # labels via the nid map afterwards (one scalable equi-join pair,
+    # strategy left to AQE).
     nid_map = signed.select("nid", "sha")
-    edges = (
-        edges_nid.join(
-            nid_map.withColumnRenamed("nid", "id_a").withColumnRenamed("sha", "sha_a"), "id_a"
-        )
-        .join(
-            nid_map.withColumnRenamed("nid", "id_b").withColumnRenamed("sha", "sha_b"), "id_b"
-        )
-        .select(F.col("sha_a").alias("id_a"), F.col("sha_b").alias("id_b"))
+    labels_nid, rounds = connected_components(
+        edges_nid.select("id_a", "id_b"), cfg.cc_max_iterations, checkpointer=ck
     )
-    labels, rounds = connected_components(
-        edges.select("id_a", "id_b"), cfg.cc_max_iterations, checkpointer=ck
+    labels = (
+        labels_nid.join(nid_map.withColumnRenamed("nid", "id"), "id")
+        .join(
+            nid_map.withColumnRenamed("nid", "cluster_id").withColumnRenamed(
+                "sha", "cluster_sha"
+            ),
+            "cluster_id",
+        )
+        .select(F.col("sha").alias("id"), F.col("cluster_sha").alias("cluster_id"))
     )
     clusters = ck.stage(
         "clusters", lambda: _fill_singletons(distinct.select("sha", "cnt"), labels, "sha")
@@ -265,7 +269,7 @@ def dedup_files(
         ck.metrics.add("cc", "rounds", rounds)
         ck.metrics.add("input", "files", files.count())
         ck.metrics.add("distinct", "contents", distinct.count())
-        ck.metrics.add("edges", "n", edges.count())
+        ck.metrics.add("edges", "n", edges_nid.count())
         ck.metrics.add("output", "files", deduped.count())
     ck.write_metrics()
     return DedupResult(clusters, survivors, deduped, ck.metrics.as_dict(), rounds)

@@ -152,8 +152,10 @@ def deduplicate_fastq(
         )
     zipped = zipped.withColumn("dedup_key", key_projection(seq_cols, check_slices))
     result = dedup_keys(spark, zipped.select(F.col("dedup_key").alias("key")), cfg)
+    # survivor keys can approach input cardinality (mostly-unique
+    # libraries), so the semi-join strategy stays with AQE
     survivors = result.survivors.select(F.col("key").alias("dedup_key")).distinct()
-    kept = zipped.join(F.broadcast(survivors), "dedup_key")
+    kept = zipped.join(survivors, "dedup_key")
     # first-wins: exactly one record tuple per surviving key
     best = kept.groupBy("dedup_key").agg(F.min("record_idx").alias("record_idx"))
     return kept.join(best, ["dedup_key", "record_idx"], "inner").drop("dedup_key")

@@ -65,10 +65,15 @@ def main() -> None:
         # workers) to exactly `cores` CPUs — otherwise a local[8] run
         # borrows the other 24 cores for GC/python and the comparison
         # under-reports scaling
+        env = dict(os.environ)
+        # identical heap on both sides: at 32 cores the allocation rate
+        # is ~4x, and an undersized heap turns the comparison into a GC
+        # benchmark (measured: the whole pipeline plateaued at ~2x)
+        env.setdefault("SPARK_DRIVER_MEMORY", "48g")
         out = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
              "--child", str(cores), str(n_files)],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True, check=True, env=env,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         rec = json.loads(line)
