@@ -174,7 +174,7 @@ def q10_quality_score(spark, sf):
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
-def q11_bigram_jaccard(spark, sf, freq_cap: int | None = None):
+def q11_bigram_jaccard(spark, sf, freq_cap: int | None = None, drop_stats: dict | None = None):
     """n-gram Jaccard near-dup scoring: word-bigram Jaccard between all
     same-source doc pairs with any overlap.
 
@@ -202,6 +202,8 @@ def q11_bigram_jaccard(spark, sf, freq_cap: int | None = None):
     sizes = b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if freq_cap is not None:
         hot = b.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("f"))
+        if drop_stats is not None:
+            drop_stats["dropped_bigrams"] = hot.filter(F.col("f") > freq_cap).count()
         b = b.join(
             hot.filter(F.col("f") <= freq_cap).select("source", "bg"),
             ["source", "bg"],

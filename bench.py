@@ -57,6 +57,26 @@ def bench_pipeline_corpus(spark, _sf):
     return dt, {"files_in": n, "files_out": n_out}
 
 
+def bench_q15_prod(spark, sf):
+    """q15 with the production (splitmix64) SimHash signer."""
+    from fastqdedup_spark.functions.simhash import simhash_near_dup_pairs
+
+    files = entrymod._docs_as_files(entrymod._t(spark, sf, "documents")).select(
+        "id", F.col("content").alias("text")
+    )
+    return simhash_near_dup_pairs(files, max_hamming=8, portable=False)
+
+
+def bench_q16_prod(spark, sf):
+    """q16 with the production (splitmix64) winnowing gram hash."""
+    from fastqdedup_spark.operators.suffix_array import substring_dup_pairs
+
+    files = entrymod._docs_as_files(entrymod._t(spark, sf, "documents")).select(
+        "id", F.lower(F.col("content")).alias("content_norm")
+    )
+    return substring_dup_pairs(files, k=15, w=20, portable=False)
+
+
 def main() -> None:
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -65,10 +85,10 @@ def main() -> None:
     qs = entrymod.queries()
     headline = [
         "q01_pricing_summary",
-        "q11_bigram_jaccard",
         "q12_cosine_topk",
         "q13_connected_components",
         "q14_minhash_near_dup",
+        # oracle-parity (portable-kernel) variants — correctness-tracked
         "q15_simhash_pairs",
         "q16_substring_dups",
     ]
@@ -77,6 +97,29 @@ def main() -> None:
     for name in headline:
         t0 = time.monotonic()
         n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        extras[name] = {"rows": n}
+
+    # q11 benches the CAPPED variant (the 100 TB plan: hot bigrams carry
+    # all of the f^2 skew and almost no Jaccard signal); the
+    # driver-contract/oracle path stays uncapped.
+    drop_stats: dict = {}
+    t0 = time.monotonic()
+    n = entrymod.q11_bigram_jaccard(
+        spark, SF_DIR, freq_cap=100, drop_stats=drop_stats
+    ).count()
+    timings["q11_bigram_jaccard"] = round(time.monotonic() - t0, 3)
+    extras["q11_bigram_jaccard"] = {"rows": n, "freq_cap": 100, **drop_stats}
+
+    # production-kernel (splitmix64 signer) variants: the actual 100 TB
+    # path — tracked separately from the SQL-replicable portable kernels
+    # so a signer-side perf regression is visible again (VERDICT r2 #3)
+    for name, fn in [
+        ("q15_simhash_pairs_prod", bench_q15_prod),
+        ("q16_substring_dups_prod", bench_q16_prod),
+    ]:
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
         timings[name] = round(time.monotonic() - t0, 3)
         extras[name] = {"rows": n}
 

@@ -43,6 +43,10 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--band-freq-cap", type=int, default=2000)
     p.add_argument("--strip-boilerplate", type=float, default=0.0, metavar="FRAC",
                    help="strip lines present in more than FRAC of files before shingling")
+    p.add_argument("--est-autoaccept", action="store_true",
+                   help="accept sketch-certain candidate pairs without exact "
+                        "verification (~4e-5 per-pair false-accept, amplified "
+                        "transitively by clustering; off = verify every edge)")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--master", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
@@ -136,6 +140,7 @@ def parity_main(argv: list[str] | None = None) -> None:
 def main(argv: list[str] | None = None) -> None:
     args = argument_parser().parse_args(argv)
     logging.basicConfig(level=logging.WARNING if args.quiet else logging.INFO)
+    spark = get_spark(master=args.master)
     cfg = DedupConfig(
         shingle_k=args.shingle_k,
         num_perm=args.num_perm,
@@ -146,12 +151,12 @@ def main(argv: list[str] | None = None) -> None:
         dissection=args.cluster_dissection,
         band_freq_cap=args.band_freq_cap,
         strip_boilerplate_frac=args.strip_boilerplate,
+        est_autoaccept=args.est_autoaccept,
         checkpoint_dir=args.checkpoint_dir,
         # bind checkpoints to THIS input: same knobs + different data
         # must never resume from a previous dataset's stages
-        input_id=input_fingerprint(args.input) if args.checkpoint_dir else "",
+        input_id=input_fingerprint(args.input, spark) if args.checkpoint_dir else "",
     )
-    spark = get_spark(master=args.master)
     t0 = time.monotonic()
     files = read_files_table(spark, args.input)
     result = dedup_files(spark, files, cfg)

@@ -44,15 +44,20 @@ class DedupConfig:
     # plans run as shuffled equi-joins. A static knob, not a mid-plan
     # count(): the decision costs no action and no barrier.
     est_broadcast: bool = True
-    # accept candidate pairs whose estimated Jaccard clears threshold +
-    # est_margin WITHOUT exact re-verification (the borderline band
-    # [thr - margin, thr + margin) still verifies exactly). Symmetric
-    # to the prefilter's false-drop bound: P[true j < thr | est >= thr
-    # + margin] <= exp(-2*num_perm*margin^2) ~ 4e-5 at the defaults —
-    # cuts the Python verify stage ~10x on near-dup-heavy corpora.
-    # Disable for exact-pair-set parity (the oracle-checked queries
-    # verify every candidate exactly).
-    est_autoaccept: bool = True
+    # OPT-IN speed knob: accept candidate pairs whose estimated Jaccard
+    # clears threshold + est_margin WITHOUT exact re-verification (the
+    # borderline band [thr - margin, thr + margin) still verifies
+    # exactly). The per-pair false-accept bound is symmetric to the
+    # prefilter's false-drop bound: P[true j < thr | est >= thr +
+    # margin] <= exp(-2*num_perm*margin^2) ~ 4e-5 at the defaults — and
+    # cuts the Python verify stage ~10x on near-dup-heavy corpora. BUT
+    # connected components amplifies it TRANSITIVELY: one false edge
+    # merges two whole clusters, so the per-OUTPUT error is bounded by
+    # (candidate pairs) x 4e-5 cluster-merge events, not 4e-5 per pair.
+    # Default False: the default pipeline verifies every edge exactly
+    # (same semantics as the reference); enable explicitly
+    # (--est-autoaccept) when approximate clustering is acceptable.
+    est_autoaccept: bool = False
     # -- execution ----------------------------------------------------------
     checkpoint_dir: str = ""        # empty = localCheckpoint only, no resume
     input_id: str = ""              # identifies the INPUT dataset (path + cheap

@@ -139,9 +139,13 @@ def simhash_near_dup_pairs(
     from fastqdedup_spark.operators.lsh import _pairs_from_bands
 
     signer = simhash64_portable if portable else simhash64
+    # consumed twice (band explode + verify join): eager localCheckpoint
+    # materializes once and its blocks are released with the DataFrame
+    # reference — an explicit persist() here leaked cached partitions on
+    # every call for the lifetime of the session
     signed = df.select(
         F.col(id_col).alias("nid"), signer(F.col(text_col)).alias("simhash")
-    ).persist()  # consumed twice: band explode + verify join
+    ).localCheckpoint(eager=True)
     bands = simhash_bands(signed, n_chunks=max_hamming + 1).select("nid", "band_hash")
     cfg = DedupConfig()
     pairs, _ = _pairs_from_bands(bands, "nid", cfg, cap=None)

@@ -38,8 +38,9 @@ def dissect_clusters(
     method: str = "directional",
     max_distance: int = 1,
     use_edit_distance: bool = False,
-    max_cluster_size: int = 100_000,
+    max_cluster_size: int = 5_000,
     within=None,
+    metrics=None,
 ) -> DataFrame:
     """clusters: (cluster_id, key, cnt[, cmp]) -> survivors
     (cluster_id, key).
@@ -51,6 +52,13 @@ def dissect_clusters(
     duplicates before clustering, _triemodule.c:233-239 — we groupBy
     upstream). `within` overrides the Hamming/edit predicate (e.g.
     oracle.jaccard_within for the code domain).
+
+    `max_cluster_size` bounds the O(n^2) per-cluster Python kernels: the
+    directional/adjacency predicates cost up to size^2 calls inside ONE
+    pandas group, so a 100k-member boilerplate mega-cluster would park
+    ~10^10 predicate calls on one worker. Clusters above the bound fall
+    back to `canonical` — a documented semantic deviation, counted via
+    `metrics` (a MetricsCollector) when provided, never silent.
     """
     if method == "highest_count":
         # survivor = max (cnt, key) tuple per cluster; ties -> greatest key
@@ -72,6 +80,10 @@ def dissect_clusters(
     with_size = clusters.join(sizes, "cluster_id")
     small = with_size.filter(F.col("_csize") <= max_cluster_size).drop("_csize")
     big = with_size.filter(F.col("_csize") > max_cluster_size).drop("_csize")
+    if metrics is not None:
+        n_fallback = sizes.filter(F.col("_csize") > max_cluster_size).count()
+        metrics.add("dissect", "fallback_clusters", n_fallback)
+        metrics.add("dissect", "max_cluster_size", max_cluster_size)
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         cluster = list(zip(pdf["cnt"].tolist(), pdf["key"].tolist()))

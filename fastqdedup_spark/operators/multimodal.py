@@ -57,15 +57,23 @@ def extract_media_features(
 ) -> DataFrame:
     """mapInPandas: (.., payload) -> (.., mime, n_bytes, features).
 
-    `decode=True` is the real-codec path — NotImplementedError until
-    PIL/librosa/pyav exist in the image; the plumbing (schema, batch
-    iteration, output shape) is identical either way.
+    `decode=True` is the real-codec path: optional-dependency — images
+    decode through PIL when it is installed (feature = normalized
+    grayscale intensity histogram over the decoded pixels, resized to a
+    fixed thumbnail so the feature dim is payload-size-independent);
+    non-image media and missing-codec environments raise
+    NotImplementedError (librosa/pyav never assumed). The plumbing
+    (schema, batch iteration, output shape) is identical either way.
     """
     if decode:
-        raise NotImplementedError(
-            "real media decoding requires PIL/librosa/pyav, absent in this "
-            "container; run with decode=False for the deterministic-fake encoder"
-        )
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "decode=True requires Pillow (PIL), absent in this "
+                "environment; run with decode=False for the "
+                "deterministic-fake encoder"
+            ) from e
     for clash in ("mime", "n_bytes", "features"):
         if clash in df.columns:
             df = df.drop(clash)
@@ -73,13 +81,35 @@ def extract_media_features(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
     ) + ", mime string, n_bytes long, features array<float>"
 
+    def _decode_features(payloads: pd.Series, dim: int) -> list:
+        import io
+
+        from PIL import Image
+
+        out = []
+        for p in payloads:
+            b = bytes(p) if p is not None else b""
+            try:
+                img = Image.open(io.BytesIO(b)).convert("L").resize((32, 32))
+                px = np.asarray(img, dtype=np.float64).ravel()
+                hist, _ = np.histogram(px, bins=dim, range=(0, 256))
+                feat = hist / max(hist.sum(), 1)
+                out.append(feat.astype(np.float32))
+            except Exception:
+                # undecodable payload (audio/video/corrupt): null features
+                out.append(None)
+        return out
+
     def gen(it):
         for pdf in it:
             pdf = pdf.copy()
             payloads = pdf[payload_col]
             pdf["mime"] = [sniff_mime(bytes(p) if p is not None else b"") for p in payloads]
             pdf["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]
-            pdf["features"] = _fake_features(payloads, dim)
+            if decode:
+                pdf["features"] = _decode_features(payloads, dim)
+            else:
+                pdf["features"] = _fake_features(payloads, dim)
             yield pdf
 
     return df.mapInPandas(gen, out_schema)

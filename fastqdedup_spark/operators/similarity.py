@@ -50,7 +50,14 @@ def brute_force_topk(
     """Exact top-k neighbors for every query: (query_id, vec_id, score,
     rank). Queries are collected + broadcast (the query block is the
     small dim); the corpus streams through one mapInPandas doing a BLAS
-    matmul per Arrow batch, then a per-query top-k window."""
+    matmul per Arrow batch.
+
+    Scale shape: each Arrow batch emits only its LOCAL top-k per query
+    (lexsorted by (-score, id) — the exact global tiebreak — so the
+    global top-k is always a subset of the union of batch top-ks). The
+    final row_number window therefore sees ~k x n_queries x n_batches
+    rows, not |corpus| x |queries|: the exchange that used to ship the
+    full scored cross product is gone."""
     qrows = queries.select(query_id_col, vec_col).collect()
     qids = [r[0] for r in qrows]
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -61,16 +68,24 @@ def brute_force_topk(
 
     def score(it):
         qids_l, qn = bc.value
+        n_q = len(qids_l)
+        qid_arr = np.asarray(qids_l)
         for pdf in it:
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             s = mn @ qn.T  # (batch, n_queries)
-            n_q = len(qids_l)
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, len(ids))
+            # per-query batch-local top-k with the global tiebreak
+            # (desc score, asc id): lexsort keys are applied last-first
+            order = np.lexsort((np.broadcast_to(ids[:, None], s.shape), -s), axis=0)
+            top = order[:kk]  # (kk, n_queries) corpus-row indices
+            cols = np.broadcast_to(np.arange(n_q), top.shape)
             yield pd.DataFrame(
                 {
-                    query_id_col: np.repeat(qids_l, len(pdf)),
-                    id_col: np.tile(pdf[id_col].to_numpy(), n_q),
-                    "score": s.T.ravel(),
+                    query_id_col: np.repeat(qid_arr, kk),
+                    id_col: ids[top].T.ravel(),
+                    "score": s[top, cols].T.ravel(),
                 }
             )
 

@@ -95,6 +95,7 @@ def dedup_keys(
             cfg.dissection,
             cfg.max_distance,
             cfg.use_edit_distance,
+            metrics=ck.metrics,
         ),
     )
     surv = survivors.select(F.col("key").alias("__surv_key"))
@@ -243,6 +244,8 @@ def dedup_files(
             signed.select("sha", F.col("content_norm").alias("cmp")), "sha"
         ).select("cluster_id", F.col("sha").alias("key"), "cnt", "cmp")
         surv_kwargs = {"within": jaccard_within(cfg.jaccard_threshold, cfg.shingle_k)}
+    if collect_metrics:
+        surv_kwargs["metrics"] = ck.metrics
     survivors = ck.stage(
         "survivors",
         lambda: dissect_clusters(surv_input, cfg.dissection, **surv_kwargs),

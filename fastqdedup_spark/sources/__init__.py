@@ -16,22 +16,43 @@ from pyspark.sql import DataFrame, SparkSession
 FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
-def input_fingerprint(location: str) -> str:
+def input_fingerprint(location: str, spark: "SparkSession | None" = None) -> str:
     """Cheap dataset identity for checkpoint keying: the path plus file
-    count and total bytes (driver-side metadata walk, no data read).
-    Folded into DedupConfig.input_id so a rerun with the same knobs but
-    a DIFFERENT input never resumes another dataset's checkpoints."""
+    count and total bytes (metadata only, no data read). Folded into
+    DedupConfig.input_id so a rerun with the same knobs but a DIFFERENT
+    input never resumes another dataset's checkpoints.
+
+    Non-local locations (hdfs://, s3a://, ...) go through the Hadoop
+    FileSystem ContentSummary API; if no session/filesystem can resolve
+    them, the fingerprint folds in a nanosecond timestamp so the run
+    NEVER silently resumes a prior (possibly overwritten) dataset's
+    checkpoints — resume is refused rather than wrong."""
+    if "://" in location and not location.startswith("file://"):
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            try:
+                jvm = spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(location)
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                cs = fs.getContentSummary(p)
+                return f"{location}|{cs.getFileCount()}|{cs.getLength()}"
+            except Exception:
+                pass
+        import time
+
+        return f"{location}|unfingerprintable|{time.time_ns()}"
+    path = location[len("file://"):] if location.startswith("file://") else location
     n, total = 0, 0
-    if os.path.isdir(location):
-        for root, _, names in os.walk(location):
+    if os.path.isdir(path):
+        for root, _, names in os.walk(path):
             for name in names:
                 try:
                     total += os.path.getsize(os.path.join(root, name))
                     n += 1
                 except OSError:
                     pass
-    elif os.path.exists(location):
-        n, total = 1, os.path.getsize(location)
+    elif os.path.exists(path):
+        n, total = 1, os.path.getsize(path)
     return f"{location}|{n}|{total}"
 
 

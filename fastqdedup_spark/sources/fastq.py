@@ -140,22 +140,35 @@ def deduplicate_fastq(
        `-E` sets it to 1.0, and `filter_on_quality = rate < 1.0`).
     3. dedup key = concat of sliced sequences (O4)
     4. exact-radius cluster + dissect (O5-O11) via dedup_keys
-    5. survivor semi-join, first occurrence per key wins (O13)
+    5. survivor semi-join, first occurrence per key wins (O13) — run
+       against the RAW (pre-quality-filter) records, matching the
+       reference's emission pass over the raw input files
     """
-    zipped = zip_fastq(tables)
-    seq_cols = [c for c in zipped.columns if c.startswith("sequence_")]
+    zipped_raw = zip_fastq(tables)
+    seq_cols = [c for c in zipped_raw.columns if c.startswith("sequence_")]
     qual_cols = [c.replace("sequence_", "qualities_") for c in seq_cols]
+    zipped_raw = zipped_raw.withColumn(
+        "dedup_key", key_projection(seq_cols, check_slices)
+    )
+    filtered = zipped_raw
     if max_average_error_rate is not None and max_average_error_rate < 1.0:
         qual_key = key_projection(qual_cols, check_slices)
-        zipped = zipped.filter(
+        filtered = zipped_raw.filter(
             average_error_rate_udf(qual_key) <= max_average_error_rate
         )
-    zipped = zipped.withColumn("dedup_key", key_projection(seq_cols, check_slices))
-    result = dedup_keys(spark, zipped.select(F.col("dedup_key").alias("key")), cfg)
+    # Survivor KEYS come from the quality-FILTERED records (the reference
+    # clusters only records that pass the filter, __init__.py:243-263) —
+    # but the EMISSION pass runs on the RAW zipped table:
+    # filter_fastq_files_on_set (__init__.py:189-206) re-reads the raw
+    # inputs and writes the FIRST record whose key is in the surviving
+    # set, including records the quality filter discarded. A
+    # low-quality record that precedes a same-key survivor is therefore
+    # the one emitted.
+    result = dedup_keys(spark, filtered.select(F.col("dedup_key").alias("key")), cfg)
     # survivor keys can approach input cardinality (mostly-unique
     # libraries), so the semi-join strategy stays with AQE
     survivors = result.survivors.select(F.col("key").alias("dedup_key")).distinct()
-    kept = zipped.join(survivors, "dedup_key")
+    kept = zipped_raw.join(survivors, "dedup_key")
     # first-wins: exactly one record tuple per surviving key
     best = kept.groupBy("dedup_key").agg(F.min("record_idx").alias("record_idx"))
     return kept.join(best, ["dedup_key", "record_idx"], "inner").drop("dedup_key")

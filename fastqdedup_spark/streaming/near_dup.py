@@ -59,44 +59,62 @@ def _make_fn(max_hamming: int, max_state: int):
     def fn(key, pdfs, state: GroupState):
         if state.exists:
             prev_ids, prev_sigs = state.get
-            ids = np.array(prev_ids, dtype=np.int64)
-            sigs = np.array(prev_sigs, dtype=np.int64)
+            n = len(prev_ids)
         else:
-            ids = np.empty(0, dtype=np.int64)
-            sigs = np.empty(0, dtype=np.int64)
+            prev_ids, prev_sigs = (), ()
+            n = 0
+        # geometric-growth buffers: novel docs append in amortized O(1)
+        # (np.append reallocated the full state per novel doc — O(n^2)
+        # over a novel-heavy batch)
+        cap = max(16, n)
+        ids = np.empty(cap, dtype=np.int64)
+        sigs = np.empty(cap, dtype=np.int64)
+        ids[:n] = prev_ids
+        sigs[:n] = prev_sigs
         out_frames = []
         for pdf in pdfs:
             batch_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             batch_sigs = pdf["simhash"].to_numpy(dtype=np.int64)
-            dup_of = np.full(len(batch_ids), np.nan)
+            # matches tracked as POSITIONS into the state (int64, -1 =
+            # novel) and mapped to ids at the end: a float64 staging
+            # array would silently round ids >= 2^53
+            dup_pos = np.full(len(batch_ids), -1, dtype=np.int64)
             # sequential by necessity (each novel doc extends the state
             # the NEXT doc scans), but the per-doc scan is one
             # vectorized XOR + popcount over the whole state array
             for i in range(len(batch_ids)):
-                if len(sigs):
-                    d = _popcount64(sigs ^ batch_sigs[i])
+                if n:
+                    d = _popcount64(sigs[:n] ^ batch_sigs[i])
                     hits = np.nonzero(d <= max_hamming)[0]
                 else:
                     hits = ()
                 if len(hits):
-                    dup_of[i] = ids[hits[0]]
+                    dup_pos[i] = hits[0]
                 else:
-                    ids = np.append(ids, batch_ids[i])
-                    sigs = np.append(sigs, batch_sigs[i])
-            if len(ids) > max_state:  # bounded ring
-                ids = ids[-max_state:]
-                sigs = sigs[-max_state:]
+                    if n == cap:
+                        cap *= 2
+                        ids = np.resize(ids, cap)
+                        sigs = np.resize(sigs, cap)
+                    ids[n] = batch_ids[i]
+                    sigs[n] = batch_sigs[i]
+                    n += 1
+            dup_of = pd.array(ids[dup_pos], dtype="Int64")
+            dup_of[dup_pos < 0] = pd.NA  # novel
             out_frames.append(
                 pd.DataFrame(
                     {
                         "doc_id": batch_ids,
                         "simhash": batch_sigs,
-                        # nullable Int64: NaN -> <NA> -> SQL null (novel)
-                        "dup_of": pd.Series(dup_of).astype("Int64"),
+                        "dup_of": dup_of,
                     }
                 )
             )
-        state.update((ids.tolist(), sigs.tolist()))
+            if n > max_state:  # bounded ring
+                keep = n - max_state
+                ids[:max_state] = ids[keep:n]
+                sigs[:max_state] = sigs[keep:n]
+                n = max_state
+        state.update((ids[:n].tolist(), sigs[:n].tolist()))
         yield pd.concat(out_frames, ignore_index=True)
 
     return fn

@@ -56,3 +56,27 @@ def test_pipeline_code_mode_dissection(spark, method):
     assert res.deduped.filter(F.col("kind").isin("base", "exact")).groupBy(
         "family_id"
     ).count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_mega_cluster_falls_back_to_canonical(spark):
+    """Clusters above max_cluster_size never reach the O(n^2) Python
+    kernels: they fall back to canonical (min key) and the fallback is
+    counted in metrics (VERDICT r2 #6)."""
+    from fastqdedup_spark.checkpoint import MetricsCollector
+    from fastqdedup_spark.operators.dissect import dissect_clusters
+
+    rows = [("c1", f"k{i:03d}", 1) for i in range(50)]          # planted mega-cluster
+    rows += [("c2", "AAAA", 5), ("c2", "AAAT", 1)]               # normal directional case
+    df = spark.createDataFrame(rows, "cluster_id string, key string, cnt long")
+    m = MetricsCollector()
+    out = dissect_clusters(
+        df, "directional", max_distance=1, max_cluster_size=10, metrics=m
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.cluster_id, []).append(r.key)
+    assert got["c1"] == ["k000"]          # canonical fallback: min key only
+    assert got["c2"] == ["AAAA"]          # kernel path: 2n-1 absorbs AAAT
+    md = m.as_dict()
+    assert md["dissect.fallback_clusters"] == 1
+    assert md["dissect.max_cluster_size"] == 10

@@ -163,3 +163,21 @@ def test_deduplicate_fastq_end_to_end(spark, tmp_path):
     assert names == ["read1/1", "read2/1", "read3/1"]
     # paired columns intact
     assert rows[0].sequence_1 == "CCCCAAAA"
+
+
+def test_emission_pass_runs_on_raw_records(spark, tmp_path):
+    """Reference parity (ADVICE r2): filter_fastq_files_on_set
+    (ref __init__.py:189-206) re-reads the RAW inputs and writes the
+    FIRST record whose key is in the surviving set — including records
+    the quality filter discarded. A low-quality record preceding a
+    same-key survivor is therefore the one emitted."""
+    recs = [
+        ("low/1", "ACGTACGT", "!!!!!!!!"),   # quality-discarded, same key as high/1
+        ("high/1", "ACGTACGT", "IIIIIIII"),  # the key survives via this record
+        ("other/1", "TTTTCCCC", "IIIIIIII"),
+    ]
+    _write_fastq(tmp_path / "e1.fastq", recs)
+    t1 = read_fastq(spark, str(tmp_path / "e1.fastq"))
+    out = deduplicate_fastq(spark, [t1], DedupConfig(max_distance=1))
+    names = sorted(r.name_0 for r in out.collect())
+    assert names == ["low/1", "other/1"]

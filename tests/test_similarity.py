@@ -180,3 +180,63 @@ def test_frame_sample_plan(spark):
     for r in counts:
         expected = (durations[r.media_id] - 1) // 1000 + 1
         assert r["count"] == expected
+
+
+def test_cosine_dup_pairs_boundary_recall(spark):
+    """VERDICT r2 #10: recall of the bucketed (multi-table sign-LSH)
+    path measured against the broadcast-exact path on a corpus planted
+    AT the threshold boundary (pairs at cosine ~0.992 vs threshold
+    0.99 — the worst case for hyperplane LSH). Deterministic seeds, so
+    the measured recall is stable run-to-run."""
+    from fastqdedup_spark.operators.similarity import cosine_dup_pairs
+
+    rng = np.random.default_rng(7)
+    dim, n = 32, 150
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # partner at an exact angle: v2 = cos(t) v + sin(t) u, u ⟂ v
+    t = np.arccos(0.992)
+    raw = rng.standard_normal((n, dim))
+    u = raw - (raw * base).sum(axis=1, keepdims=True) * base
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    partners = np.cos(t) * base + np.sin(t) * u
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    rows += [(n + i, partners[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_dup_pairs(df, 0.99, method="broadcast").collect()
+    }
+    assert len(exact) >= n  # every planted pair clears the threshold
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in cosine_dup_pairs(df, 0.99, method="bucketed").collect()
+    }
+    assert bucketed <= exact  # exact verify: precision 1.0
+    recall = len(bucketed & exact) / len(exact)
+    assert recall >= 0.99, f"boundary recall {recall:.4f} < 0.99"
+
+
+def test_media_decode_with_pil(spark):
+    """Real-codec decode path: only runs where Pillow is installed."""
+    pytest.importorskip("PIL")
+    media = synth_media(spark, n=6)
+    out = extract_media_features(media, dim=16, decode=True)
+    rows = out.collect()
+    assert len(rows) == 6
+    # synth payloads are not valid images -> null features, but the
+    # plumbing (schema, batch shape) must hold
+    assert all(len(r.features) == 16 for r in rows if r.features is not None)
+
+
+def test_media_decode_without_pil_raises(spark):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; the no-codec path is not reachable")
+    except ImportError:
+        pass
+    media = synth_media(spark, n=2)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        extract_media_features(media, decode=True)
