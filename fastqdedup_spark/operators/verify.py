@@ -99,19 +99,35 @@ def est_jaccard_matches(
     (masked OR-shift pyramids + bit_count): every such variant fell
     out of codegen and ran 20-30x SLOWER interpreted (57-75 s on the
     same input). Flat chains of simple comparisons are what Catalyst
-    splits and compiles well."""
+    splits and compiles well.
+
+    The terms MUST be summed as a BALANCED tree (depth log2(n), not a
+    left-deep n-deep chain): janino compiles expression trees
+    recursively, and a 128-level nested Add inside a broadcast-join
+    consume function overflows its compiler stack — codegen fails for
+    the WHOLE pair stage and Spark silently falls back to the
+    interpreted path (measured: the full docs pipeline regressed 1.4x
+    with the failure buried in the executor log)."""
     n_words = cfg.num_perm // 8
-    matches = F.lit(0)
+    terms = []
     for w in range(n_words):
         xa = F.element_at(sig_a, w + 1)
         xb = F.element_at(sig_b, w + 1)
         for byte in range(8):
             sh = 8 * byte
-            matches = matches + (
-                F.shiftrightunsigned(xa, sh).bitwiseAND(F.lit(255))
-                == F.shiftrightunsigned(xb, sh).bitwiseAND(F.lit(255))
-            ).cast("int")
-    return matches
+            terms.append(
+                (
+                    F.shiftrightunsigned(xa, sh).bitwiseAND(F.lit(255))
+                    == F.shiftrightunsigned(xb, sh).bitwiseAND(F.lit(255))
+                ).cast("int")
+            )
+    # pairwise-reduce to a balanced Add tree
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
 
 
 def est_prefilter(
