@@ -157,14 +157,26 @@ def minhash_candidate_pairs(
         from fastqdedup_spark.operators.verify import est_prefilter
 
         sigs = signed.select(id_col, "sig_packed")
-        return _pairs_from_bands(
+        # est_matches is ALWAYS carried through the pair distinct (it is
+        # deterministic per pair, so the distinct is unaffected) and only
+        # dropped afterwards: as an aggregate key the column is REQUIRED
+        # above, which pins the 128-term est expression in a Project —
+        # the only operator whose codegen splits big expressions into
+        # sub-JIT-limit methods. Dropping it pre-distinct lets Catalyst
+        # collapse the expression into a Filter/join-condition blob that
+        # HotSpot refuses to JIT (see est_prefilter) — measured 15x
+        # slower on the corpus pair stage.
+        pairs, metrics = _pairs_from_bands(
             bands, id_col, cfg,
             prefilter=lambda raw: est_prefilter(
-                raw, sigs, cfg, id_col, keep_est=keep_est
+                raw, sigs, cfg, id_col, keep_est=True
             ),
             cap=cfg.band_freq_cap,
-            extra_cols=["est_matches"] if keep_est else None,
+            extra_cols=["est_matches"],
         )
+        if not keep_est:
+            pairs = pairs.drop("est_matches")
+        return pairs, metrics
     return _pairs_from_bands(bands, id_col, cfg, cap=cfg.band_freq_cap)
 
 

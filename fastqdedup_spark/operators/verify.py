@@ -151,11 +151,23 @@ def est_prefilter(
     ga = sigs.select(F.col(id_col).alias("id_a"), F.col("sig_packed").alias("sig_a"))
     gb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig_packed").alias("sig_b"))
     min_matches = int((cfg.jaccard_threshold - cfg.est_margin) * cfg.num_perm)
+    # The zero-valued NON-DETERMINISTIC term pins the filter ABOVE the
+    # est projection: Catalyst never pushes non-deterministic predicates
+    # (and this one is a single comparison, so conjunct-splitting can't
+    # peel a deterministic part off), so the 128-term expression is
+    # evaluated in a Project — where whole-stage codegen
+    # subexpression-splits it into small methods — instead of being
+    # alias-substituted into the broadcast join CONDITION. A join
+    # condition is generated as ONE inline blob: measured, it made
+    # bhj_doConsume 57 KB of bytecode, which HotSpot refuses to JIT
+    # ("Generated method too long to be JIT compiled"), and the whole
+    # pair stage ran interpreted, 15x slower.
+    nondet_zero = (F.rand(cfg.seed) * F.lit(0.0)).cast("int")
     out = (
         pairs.join(hint(ga), "id_a")
         .join(hint(gb), "id_b")
         .withColumn("est_matches", est_jaccard_matches(cfg))
-        .filter(F.col("est_matches") >= min_matches)
+        .filter((F.col("est_matches") + nondet_zero) >= min_matches)
     )
     cols = ["id_a", "id_b"] + (["est_matches"] if keep_est else [])
     return out.select(*cols)
