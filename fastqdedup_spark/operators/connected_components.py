@@ -42,24 +42,29 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
+    # Arrow toPandas: row materialization through py4j costs ~10x more
+    # than the union-find loop itself at ~10^5 edges — this collect is
+    # the pipeline's one serial driver step, keep it lean
+    pdf = sym.toPandas()
     seen = set()
-    for row in sym.collect():
-        a, b = row[0], row[1]
+    for a, b in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
         seen.add(a)
         seen.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    labels = [(v, find(v)) for v in seen]
     # find() roots are union-by-min, so root == component minimum
-    id_type = sym.schema[0].dataType
+    import pandas as pd
     import pyspark.sql.types as T
 
+    nodes = list(seen)
+    lab_pdf = pd.DataFrame({"id": nodes, "cluster_id": [find(v) for v in nodes]})
+    id_type = sym.schema[0].dataType
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
     )
-    return sym.sparkSession.createDataFrame(labels, schema)
+    return sym.sparkSession.createDataFrame(lab_pdf, schema)
 
 
 def connected_components(

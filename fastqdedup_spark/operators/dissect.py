@@ -93,53 +93,51 @@ def dissect_clusters(
         metrics.add("dissect", "fallback_clusters", n_fallback)
         metrics.add("dissect", "max_cluster_size", max_cluster_size)
 
-    def run_clusters(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_cids: list = []
-        out_keys: list = []
-        for cid, g in pdf.groupby("cluster_id", sort=False):
-            cluster = list(zip(g["cnt"].tolist(), g["key"].tolist()))
-            cmp = g["cmp"].tolist() if has_cmp else None
-            if cmp is not None and hasattr(within, "prepare"):
-                # e.g. jaccard_within: shingle each member once, not once
-                # per pairwise comparison (O(n) instead of O(n^2) encodes)
-                cmp = within.prepare(cmp)
-            survivors = list(
-                kernel(cluster, max_distance, use_edit_distance, cmp=cmp, within=within)
-            )
-            out_cids.extend([cid] * len(survivors))
-            out_keys.extend(survivors)
-        return pd.DataFrame({"cluster_id": out_cids, "key": out_keys})
-
     # Dup-cluster corpora have MANY small clusters; one grouped-map
     # pandas group per cluster pays a JVM<->Python crossing each
     # (measured ~1.5 ms/group — the dissect stage was ~all overhead).
-    # Instead: co-locate each cluster via hash repartition, make it
-    # contiguous via a partition-local sort, and run ONE mapInPandas
-    # that dissects every whole cluster in an Arrow batch, carrying the
-    # (possibly split) tail cluster over to the next batch.
-    def gen(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            last = pdf["cluster_id"].iloc[-1]
-            tail = pdf["cluster_id"] == last
-            carry = pdf[tail]
-            body = pdf[~tail]
-            if len(body):
-                yield run_clusters(body)
-        if carry is not None and len(carry):
-            yield run_clusters(carry)
-
-    spark = clusters.sparkSession
-    npart = spark.sparkContext.defaultParallelism
-    small_out = (
-        small.repartition(npart, "cluster_id")
-        .sortWithinPartitions("cluster_id")
-        .mapInPandas(gen, "cluster_id string, key string")
+    # Instead each cluster is packed into ONE ROW via collect_list and a
+    # single mapInPandas dissects every whole cluster in an Arrow batch.
+    #
+    # Row atomicity is the load-bearing property: an earlier version
+    # relied on repartition(cluster_id) + sortWithinPartitions to
+    # co-locate clusters for a streaming grouped scan, but a plain
+    # mapInPandas declares NO required distribution, so Catalyst may
+    # elide the "redundant" exchange against an upstream join's
+    # partitioning and AQE may then replan that join (broadcast
+    # conversion + local shuffle reads) — silently breaking the
+    # co-location and splitting clusters across tasks (observed at 384k
+    # files: absorption failed for most clusters, and the output varied
+    # with core count). collect_list is an aggregation, so Spark
+    # GUARANTEES each cluster arrives complete, under any planning.
+    member_struct = (
+        F.struct("key", "cnt", "cmp") if has_cmp else F.struct("key", "cnt")
     )
+    packed = small.groupBy("cluster_id").agg(
+        F.collect_list(member_struct).alias("members")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out_cids: list = []
+            out_keys: list = []
+            for cid, members in zip(pdf["cluster_id"], pdf["members"]):
+                cluster = [(int(m["cnt"]), m["key"]) for m in members]
+                cmp = [m["cmp"] for m in members] if has_cmp else None
+                if cmp is not None and hasattr(within, "prepare"):
+                    # e.g. jaccard_within: shingle each member once, not
+                    # once per pairwise comparison (O(n), not O(n^2))
+                    cmp = within.prepare(cmp)
+                survivors = list(
+                    kernel(
+                        cluster, max_distance, use_edit_distance,
+                        cmp=cmp, within=within,
+                    )
+                )
+                out_cids.extend([cid] * len(survivors))
+                out_keys.extend(survivors)
+            yield pd.DataFrame({"cluster_id": out_cids, "key": out_keys})
+
+    small_out = packed.mapInPandas(gen, "cluster_id string, key string")
     big_out = big.groupBy("cluster_id").agg(F.min("key").alias("key"))
     return singles.unionByName(small_out).unionByName(big_out)
