@@ -200,12 +200,13 @@ def verify_pairs_jaccard(
         pairs = est_prefilter(
             pairs, contents.select(id_col, "sig_packed"), cfg, id_col
         )
-        skip_size_prune = True  # est filter dominates the size bound
-    else:
-        skip_size_prune = skip_est  # prefiltered upstream -> already covered
-    have_sizes = (
-        not skip_size_prune and size_col is not None and size_col in contents.columns
-    )
+    # The size bound jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|) is EXACT
+    # and cheap (two broadcast probes inside codegen), so it runs even
+    # when the est prefilter already did (skip_est=True, the pipeline
+    # path): the est margin keeps pairs down to est >= (thr-margin)*n,
+    # many of which the size bound kills before content ships to the
+    # Python kernel.
+    have_sizes = size_col is not None and size_col in contents.columns
     if have_sizes:
         sa = contents.select(
             F.col(id_col).alias("id_a"), F.col(size_col).alias("sz_a")
