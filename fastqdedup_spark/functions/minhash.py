@@ -202,6 +202,7 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     if "content_norm" not in in_cols:
         df = df.withColumn("content_norm", normalize_content("content"))
         in_cols = df.columns
+    assert cfg.num_perm % 32 == 0, "2-bit sketch packs 32 bins/long"
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema) \
         + ", n_shingles int, band_hash array<bigint>, sig_packed array<bigint>"
     k, num_perm, bands, seed = cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.seed
@@ -223,13 +224,22 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
                 dtype=np.int32,
                 count=len(starts),
             )
-            # pack the low byte of every bin: 128 bins -> 16 longs. The
-            # est-Jaccard prefilter compares bins bytewise (1/256 false
-            # byte-match bias, absorbed by the margin) at 1/8 the
-            # shuffle weight of full 64-bit signatures.
-            low = (sig.view(np.uint64) & np.uint64(0xFF)).astype(np.uint8)
-            packed = low.reshape(len(pdf), num_perm // 8, 8).copy().view(np.uint64)
-            packed = packed.reshape(len(pdf), num_perm // 8).view(np.int64)
+            # pack the low 2 BITS of every bin: 128 bins -> 4 longs (32
+            # bins/word). The est-Jaccard prefilter counts agreeing
+            # 2-bit bins via XOR + one OR-collapse + bit_count — ~25
+            # Catalyst expression nodes, so the pair stage's generated
+            # consume method stays far under both janino's 64 KB and
+            # HotSpot's 8 KB JIT limits (the earlier byte-packed sketch
+            # needed 128 comparison terms and pushed the method past
+            # both — the stage silently ran un-JITed, 4-40x slower).
+            # Random bins agree with prob 1/4; the threshold math maps
+            # jaccard j -> bin-match prob j + (1-j)/4 (est_min_matches),
+            # so the bias is corrected exactly, not absorbed.
+            bits = (sig.view(np.uint64) & np.uint64(3)).reshape(
+                len(pdf), num_perm // 32, 32
+            )
+            shifts = (np.uint64(2) * np.arange(32, dtype=np.uint64))[None, None, :]
+            packed = np.bitwise_or.reduce(bits << shifts, axis=2).view(np.int64)
             pdf = pdf.copy()
             pdf["n_shingles"] = n_unique  # distinct shingles: exact |set|
             pdf["band_hash"] = list(bh)

@@ -86,48 +86,59 @@ def make_jaccard_udf(k: int):
     return _udf
 
 
+_PAIR_MASK = 0x5555555555555555  # low bit of every 2-bit lane
+
+
+def est_bin_match_prob(j: float) -> float:
+    """P[a 2-bit sketch bin agrees] for true jaccard j: the bin carries
+    the low 2 bits of the per-bin min-hash, so it agrees when the mins
+    are equal (prob j) or collide in the low 2 bits (prob 1/4)."""
+    return j + (1.0 - j) / 4.0
+
+
+def est_min_matches(cfg: DedupConfig, j: float) -> int:
+    """Matching-bin threshold equivalent to estimated-jaccard >= j
+    (floor: the conservative direction for a keep-if-above filter)."""
+    return int(est_bin_match_prob(j) * cfg.num_perm)
+
+
 def est_jaccard_matches(
     cfg: DedupConfig, sig_a: str = "sig_a", sig_b: str = "sig_b"
 ) -> "F.Column":
     """Matching-bin count between `sig_a`/`sig_b` packed-sketch columns
-    via per-byte shift-compare on the packed longs: a flat codegen
-    expression, no overflow-sensitive bit tricks (ANSI-safe).
+    (2 bits per bin, 32 bins per long): XOR the words, OR-collapse each
+    2-bit lane into its low bit, mask, and subtract the popcount — a
+    2-bit lane is zero iff the bin agreed.
 
-    Perf note (measured, Spark 4.1, 5M rows x local[8]): this flat
-    128-comparison chain runs at ~0.65 us/row inside whole-stage
-    codegen. Do NOT "optimize" it into SWAR zero-byte collapses
-    (masked OR-shift pyramids + bit_count): every such variant fell
-    out of codegen and ran 20-30x SLOWER interpreted (57-75 s on the
-    same input). Flat chains of simple comparisons are what Catalyst
-    splits and compiles well.
-
-    The terms MUST be summed as a BALANCED tree (depth log2(n), not a
-    left-deep n-deep chain): janino compiles expression trees
-    recursively, and a 128-level nested Add inside a broadcast-join
-    consume function overflows its compiler stack — codegen fails for
-    the WHOLE pair stage and Spark silently falls back to the
-    interpreted path (measured: the full docs pipeline regressed 1.4x
-    with the failure buried in the executor log)."""
-    n_words = cfg.num_perm // 8
+    Codegen history (do not relearn — measured, Spark 4.1, 20M pairs x
+    local[8], scripts/codegen_lab.py):
+    - byte-packed sketch, flat 128 comparison terms: the expression
+      inlines into the host consume method (bhj_doConsume /
+      hashAgg_doAggregateWithoutKey), ~20k generated lines -> janino
+      "Code grows beyond 64 KB" -> whole stage falls back to the
+      row-codegen operator path (5.9 s / 20M);
+    - SWAR OR-pyramids per word: janino compiles (~10k lines) but the
+      method exceeds HotSpot's 8 KB JIT limit -> interpreted BYTECODE,
+      236 s / 20M — the worst mode, and it looks like a success in the
+      logs;
+    - per-word subexpression-duplication tricks do NOT shrink the host
+      method (Spark hoists leaf pieces, not the big terms);
+    - THIS form (~25 expression nodes, bit_count is a JIT intrinsic):
+      936-line host method, fully JIT'd, 1.33 s / 20M — 4.4x the
+      fallback, 177x the un-JITed SWAR.
+    Keep the expression node count O(num_perm / 32); never reintroduce
+    a per-bin comparison chain."""
+    n_words = (cfg.num_perm + 31) // 32
+    pad_bins = 32 * n_words - cfg.num_perm  # zero lanes in both sigs
     terms = []
     for w in range(n_words):
-        xa = F.element_at(sig_a, w + 1)
-        xb = F.element_at(sig_b, w + 1)
-        for byte in range(8):
-            sh = 8 * byte
-            terms.append(
-                (
-                    F.shiftrightunsigned(xa, sh).bitwiseAND(F.lit(255))
-                    == F.shiftrightunsigned(xb, sh).bitwiseAND(F.lit(255))
-                ).cast("int")
-            )
-    # pairwise-reduce to a balanced Add tree
-    while len(terms) > 1:
-        terms = [
-            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-            for i in range(0, len(terms), 2)
-        ]
-    return terms[0]
+        x = F.element_at(sig_a, w + 1).bitwiseXOR(F.element_at(sig_b, w + 1))
+        lane = x.bitwiseOR(F.shiftrightunsigned(x, 1)).bitwiseAND(F.lit(_PAIR_MASK))
+        terms.append(F.lit(32) - F.bit_count(lane))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return (out - F.lit(pad_bins)).cast("int")
 
 
 def est_prefilter(
@@ -150,18 +161,16 @@ def est_prefilter(
     hint = F.broadcast if cfg.est_broadcast else (lambda df: df)
     ga = sigs.select(F.col(id_col).alias("id_a"), F.col("sig_packed").alias("sig_a"))
     gb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig_packed").alias("sig_b"))
-    min_matches = int((cfg.jaccard_threshold - cfg.est_margin) * cfg.num_perm)
+    min_matches = est_min_matches(cfg, cfg.jaccard_threshold - cfg.est_margin)
     # The zero-valued NON-DETERMINISTIC term pins the filter ABOVE the
     # est projection: Catalyst never pushes non-deterministic predicates
     # (and this one is a single comparison, so conjunct-splitting can't
-    # peel a deterministic part off), so the 128-term expression is
-    # evaluated in a Project — where whole-stage codegen
-    # subexpression-splits it into small methods — instead of being
-    # alias-substituted into the broadcast join CONDITION. A join
-    # condition is generated as ONE inline blob: measured, it made
-    # bhj_doConsume 57 KB of bytecode, which HotSpot refuses to JIT
-    # ("Generated method too long to be JIT compiled"), and the whole
-    # pair stage ran interpreted, 15x slower.
+    # peel a deterministic part off), so the est expression is evaluated
+    # in a Project instead of being alias-substituted into the broadcast
+    # join CONDITION (a join condition is generated as ONE inline blob).
+    # With the 2-bit sketch the expression is small enough that either
+    # placement compiles and JITs; the pin stays as cheap insurance
+    # against the blob regrowing (e.g. a num_perm bump).
     nondet_zero = (F.rand(cfg.seed) * F.lit(0.0)).cast("int")
     out = (
         pairs.join(hint(ga), "id_a")

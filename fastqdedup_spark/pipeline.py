@@ -41,6 +41,7 @@ from fastqdedup_spark.operators.lsh import (
     pigeonhole_candidate_pairs,
 )
 from fastqdedup_spark.operators.verify import (
+    est_min_matches,
     verify_pairs_distance,
     verify_pairs_jaccard,
 )
@@ -193,7 +194,7 @@ def dedup_files(
             # DedupConfig.est_autoaccept); only the borderline band
             # pays for the exact Arrow-side Jaccard.
             hi = min(
-                int((cfg.jaccard_threshold + cfg.est_margin) * cfg.num_perm),
+                est_min_matches(cfg, cfg.jaccard_threshold + cfg.est_margin) + 1,
                 cfg.num_perm,
             )
             certain = cand.filter(F.col("est_matches") >= hi).select("id_a", "id_b")

@@ -1,0 +1,93 @@
+"""2-bit est-sketch prefilter: packing, the Catalyst matching-bin
+expression, threshold mapping, and recall-neutrality of the filter.
+
+The est expression must stay O(num_perm/32) nodes — the byte-packed
+128-term ancestor overflowed janino's 64 KB method limit inside the
+broadcast-join consume function and the whole pair stage silently ran
+without whole-stage codegen (VERDICT r3 #1; scripts/codegen_lab.py has
+the measured post-mortem).
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from fastqdedup_spark.config import DedupConfig
+from fastqdedup_spark.functions.minhash import minhash_batch
+from fastqdedup_spark.operators.verify import (
+    est_bin_match_prob,
+    est_jaccard_matches,
+    est_min_matches,
+    est_prefilter,
+)
+
+
+def _pack_2bit(sig: np.ndarray, num_perm: int) -> np.ndarray:
+    bits = (sig.view(np.uint64) & np.uint64(3)).reshape(len(sig), num_perm // 32, 32)
+    shifts = (np.uint64(2) * np.arange(32, dtype=np.uint64))[None, None, :]
+    return np.bitwise_or.reduce(bits << shifts, axis=2).view(np.int64)
+
+
+@pytest.mark.parametrize("num_perm", [64, 128])
+def test_est_expression_matches_numpy(spark, num_perm):
+    rng = np.random.default_rng(7)
+    n = 50
+    sig = rng.integers(0, 2**63 - 1, size=(n, num_perm), dtype=np.uint64).view(np.int64)
+    # plant high-agreement rows: row i and i+1 share 90% of bins
+    for i in range(0, n - 1, 2):
+        mask = rng.random(num_perm) < 0.9
+        sig[i + 1, mask] = sig[i, mask]
+    packed = _pack_2bit(sig, num_perm)
+    rows = [(i, packed[i].tolist()) for i in range(n)]
+    sigs = spark.createDataFrame(rows, "id long, sig_packed array<bigint>")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(a + 1, min(a + 4, n))],
+        "id_a long, id_b long",
+    )
+    cfg = DedupConfig(num_perm=num_perm)
+    ga = sigs.select(F.col("id").alias("id_a"), F.col("sig_packed").alias("sig_a"))
+    gb = sigs.select(F.col("id").alias("id_b"), F.col("sig_packed").alias("sig_b"))
+    got = {
+        (r["id_a"], r["id_b"]): r["m"]
+        for r in pairs.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("m", est_jaccard_matches(cfg))
+        .collect()
+    }
+    low = sig.view(np.uint64) & np.uint64(3)
+    for (a, b), m in got.items():
+        assert m == int(np.count_nonzero(low[a] == low[b])), (a, b)
+
+
+def test_threshold_mapping_corrects_quarter_bias():
+    cfg = DedupConfig(num_perm=128, jaccard_threshold=0.8, est_margin=0.2)
+    # est-jaccard >= 0.6 maps to bin-match prob 0.6 + 0.4/4 = 0.7
+    assert est_bin_match_prob(0.6) == pytest.approx(0.7)
+    assert est_min_matches(cfg, 0.6) == 89  # floor(0.7 * 128)
+    assert est_min_matches(cfg, 1.0) == 128
+
+
+def test_prefilter_keeps_true_pairs_drops_background(spark):
+    """End-to-end through real signatures: planted near-dups (j ~ 0.9)
+    survive; unrelated texts (j ~ 0) are dropped."""
+    cfg = DedupConfig(shingle_k=5, num_perm=128, jaccard_threshold=0.8, est_margin=0.2)
+    rng = np.random.default_rng(11)
+    base = [
+        " ".join(rng.choice(list("abcdefghij"), size=200).tolist()) for _ in range(20)
+    ]
+    near = [t[:-10] + "zzzzzzzzzz" for t in base]  # tiny mutation, j >> 0.8
+    texts = base + near
+    sig = minhash_batch(texts, cfg.shingle_k, cfg.num_perm, cfg.seed)
+    packed = _pack_2bit(sig, cfg.num_perm)
+    sigs = spark.createDataFrame(
+        [(i, packed[i].tolist()) for i in range(len(texts))],
+        "id long, sig_packed array<bigint>",
+    )
+    true_pairs = [(i, i + 20) for i in range(20)]
+    bg_pairs = [(i, j) for i in range(20) for j in range(i + 1, 20)]
+    pairs = spark.createDataFrame(true_pairs + bg_pairs, "id_a long, id_b long")
+    kept = {
+        (r["id_a"], r["id_b"])
+        for r in est_prefilter(pairs, sigs, cfg, "id").collect()
+    }
+    assert set(true_pairs) <= kept
+    assert not (set(bg_pairs) & kept)
