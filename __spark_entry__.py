@@ -199,6 +199,13 @@ def q11_bigram_jaccard(spark, sf, freq_cap: int | None = None, drop_stats: dict 
         )
     )
     b = d.select("source", "doc_id", F.explode(bigrams).alias("bg")).distinct()
+    if freq_cap is not None:
+        # One materialization feeds sizes, the hot-bigram cap, the drop
+        # count, and both self-join sides — the explode+distinct was
+        # being recomputed ~3x (VERDICT r3 #2: capped q11 ran 2.3x the
+        # uncapped time with zero drops at sf0.1, pure overhead). The
+        # oracle/parity path (freq_cap=None) stays fully lazy.
+        b = b.localCheckpoint(eager=True)
     sizes = b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if freq_cap is not None:
         hot = b.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("f"))

@@ -4,6 +4,13 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
 
+Noisy-neighbor hygiene (VERDICT r3 #3: a load-contaminated BENCH_r03
+was indistinguishable from a 3x regression without a judge rerun):
+every query runs best-of-$SPARK_GRAFT_BENCH_REPS (default 2) with a
+FRESH DataFrame per rep (rebuilding the plan defeats Spark's
+shuffle-stage reuse, which would otherwise fake the repeat), and
+os.getloadavg() is stamped around each rep in the detail payload.
+
 Headline set = the end-to-end near-dup pipeline (the engine's whole
 point) + the heaviest operator families (LSH near-dup, SimHash,
 substring dups, CC, cosine top-k, TPC-H-style agg). Timings exclude JVM
@@ -30,51 +37,62 @@ from fastqdedup_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_CORPUS_FILES", "24000"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+timings: dict[str, float] = {}
+extras: dict[str, dict] = {}
 
 
-def bench_pipeline_docs(spark, sf):
-    """Full pipeline over sf documents + planted near-dup copies."""
-    files = entrymod._docs_as_files(entrymod._t(spark, sf, "documents"))
+def timed(name: str, run_once, reps: int = REPS) -> None:
+    """Best-of-N with load stamps; `run_once()` must BUILD and EXECUTE
+    the query from scratch and return an info dict (>= {"rows": n})."""
+    runs, loads, info = [], [], {}
+    for _ in range(reps):
+        l0 = os.getloadavg()[0]
+        t0 = time.monotonic()
+        info = run_once()
+        runs.append(round(time.monotonic() - t0, 3))
+        loads.append(round(l0, 1))
+    timings[name] = min(runs)
+    extras[name] = {**info, "runs": runs, "load1m": loads}
+
+
+def bench_pipeline_docs(spark):
+    files = entrymod._docs_as_files(entrymod._t(spark, SF_DIR, "documents"))
     n = files.count()
     cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.8)
-    t0 = time.monotonic()
     res = dedup_files(spark, files, cfg, quality=False, collect_metrics=False)
     n_out = res.deduped.count()
-    dt = time.monotonic() - t0
-    return dt, {"files_in": n, "files_out": n_out}
+    return {"files_in": n, "rows": n_out}
 
 
-def bench_pipeline_corpus(spark, _sf):
-    """Full pipeline over the deterministic synthetic code corpus."""
-    files = generate_files(spark, CORPUS_FILES, seed=42).cache()
+def bench_pipeline_corpus(spark):
+    files = generate_files(spark, CORPUS_FILES, seed=42).localCheckpoint(eager=True)
     n = files.count()
     cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
-    t0 = time.monotonic()
     res = dedup_files(spark, files, cfg, quality=False, collect_metrics=False)
     n_out = res.deduped.count()
-    dt = time.monotonic() - t0
-    files.unpersist()
-    return dt, {"files_in": n, "files_out": n_out}
+    return {"files_in": n, "rows": n_out}
 
 
-def bench_q15_prod(spark, sf):
+def bench_q15_prod(spark):
     """q15 with the production (splitmix64) SimHash signer."""
     from fastqdedup_spark.functions.simhash import simhash_near_dup_pairs
 
-    files = entrymod._docs_as_files(entrymod._t(spark, sf, "documents")).select(
+    files = entrymod._docs_as_files(entrymod._t(spark, SF_DIR, "documents")).select(
         "id", F.col("content").alias("text")
     )
-    return simhash_near_dup_pairs(files, max_hamming=8, portable=False)
+    return {"rows": simhash_near_dup_pairs(files, max_hamming=8, portable=False).count()}
 
 
-def bench_q16_prod(spark, sf):
+def bench_q16_prod(spark):
     """q16 with the production (splitmix64) winnowing gram hash."""
     from fastqdedup_spark.operators.suffix_array import substring_dup_pairs
 
-    files = entrymod._docs_as_files(entrymod._t(spark, sf, "documents")).select(
+    files = entrymod._docs_as_files(entrymod._t(spark, SF_DIR, "documents")).select(
         "id", F.lower(F.col("content")).alias("content_norm")
     )
-    return substring_dup_pairs(files, k=15, w=20, portable=False)
+    return {"rows": substring_dup_pairs(files, k=15, w=20, portable=False).count()}
 
 
 def main() -> None:
@@ -92,45 +110,32 @@ def main() -> None:
         "q15_simhash_pairs",
         "q16_substring_dups",
     ]
-    timings: dict[str, float] = {}
-    extras: dict[str, dict] = {}
     for name in headline:
-        t0 = time.monotonic()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        extras[name] = {"rows": n}
+        timed(name, lambda n=name: {"rows": qs[n](spark, SF_DIR).count()})
 
     # q11 benches the CAPPED variant (the 100 TB plan: hot bigrams carry
     # all of the f^2 skew and almost no Jaccard signal); the
-    # driver-contract/oracle path stays uncapped.
-    drop_stats: dict = {}
-    t0 = time.monotonic()
-    n = entrymod.q11_bigram_jaccard(
-        spark, SF_DIR, freq_cap=100, drop_stats=drop_stats
-    ).count()
-    timings["q11_bigram_jaccard"] = round(time.monotonic() - t0, 3)
-    extras["q11_bigram_jaccard"] = {"rows": n, "freq_cap": 100, **drop_stats}
+    # driver-contract/oracle path stays uncapped. The drop count rides
+    # the same localCheckpoint materialization as the join sides.
+    def run_q11():
+        ds: dict = {}
+        n = entrymod.q11_bigram_jaccard(
+            spark, SF_DIR, freq_cap=100, drop_stats=ds
+        ).count()
+        return {"rows": n, "freq_cap": 100, **ds}
+
+    timed("q11_bigram_jaccard", run_q11)
 
     # production-kernel (splitmix64 signer) variants: the actual 100 TB
     # path — tracked separately from the SQL-replicable portable kernels
-    # so a signer-side perf regression is visible again (VERDICT r2 #3)
-    for name, fn in [
-        ("q15_simhash_pairs_prod", bench_q15_prod),
-        ("q16_substring_dups_prod", bench_q16_prod),
-    ]:
-        t0 = time.monotonic()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        extras[name] = {"rows": n}
+    # so a signer-side perf regression stays visible (VERDICT r2 #3)
+    timed("q15_simhash_pairs_prod", lambda: bench_q15_prod(spark))
+    timed("q16_substring_dups_prod", lambda: bench_q16_prod(spark))
 
-    for name, fn in [
-        ("pipeline_dedup_docs", bench_pipeline_docs),
-        ("pipeline_dedup_corpus", bench_pipeline_corpus),
-    ]:
-        dt, info = fn(spark, SF_DIR)
-        timings[name] = round(dt, 3)
-        info["files_per_sec"] = round(info["files_in"] / dt, 1)
-        extras[name] = info
+    timed("pipeline_dedup_docs", lambda: bench_pipeline_docs(spark))
+    timed("pipeline_dedup_corpus", lambda: bench_pipeline_corpus(spark))
+    for p in ("pipeline_dedup_docs", "pipeline_dedup_corpus"):
+        extras[p]["files_per_sec"] = round(extras[p]["files_in"] / timings[p], 1)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -142,6 +147,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR,
                 "cpus": CPUS,
+                "reps": REPS,
                 "detail": extras,
             }
         )

@@ -30,20 +30,43 @@ from fastqdedup_spark.config import DedupConfig
 class MetricsCollector:
     def __init__(self) -> None:
         self.rows: list[tuple[str, str, float]] = []
+        self._lazy: list[tuple[str, str, Callable[[], float | None]]] = []
 
     def add(self, stage: str, metric: str, value: float) -> None:
         self.rows.append((stage, metric, float(value)))
+
+    def add_lazy(
+        self, stage: str, metric: str, resolve: Callable[[], float | None]
+    ) -> None:
+        """Metric whose value rides a NOT-YET-RUN job (Dataset.observe):
+        `resolve` is called when the metrics are read and must return
+        None (skip, job never ran) or the value — it must NOT block.
+        This is how per-stage counters cost zero extra Spark jobs."""
+        self._lazy.append((stage, metric, resolve))
 
     def add_row(self, stage: str, row: dict) -> None:
         for k, v in row.items():
             if v is not None:
                 self.add(stage, k, v)
 
+    def _resolved(self) -> list[tuple[str, str, float]]:
+        out = list(self.rows)
+        for stage, metric, fn in self._lazy:
+            try:
+                v = fn()
+            except Exception:
+                v = None
+            if v is not None:
+                out.append((stage, metric, float(v)))
+        return out
+
     def to_df(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(self.rows, "stage string, metric string, value double")
+        return spark.createDataFrame(
+            self._resolved(), "stage string, metric string, value double"
+        )
 
     def as_dict(self) -> dict:
-        return {f"{s}.{m}": v for s, m, v in self.rows}
+        return {f"{s}.{m}": v for s, m, v in self._resolved()}
 
 
 class StageCheckpointer:

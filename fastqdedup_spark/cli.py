@@ -41,6 +41,12 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--cluster-dissection", default="canonical",
                    choices=["canonical", "highest_count", "adjacency", "directional"])
     p.add_argument("--band-freq-cap", type=int, default=2000)
+    p.add_argument("--max-cluster-size", type=int, default=5_000,
+                   help="clusters with more members fall back from "
+                        "adjacency/directional dissection to canonical "
+                        "(counted in metrics, warned on)")
+    p.add_argument("--max-cluster-bytes", type=int, default=256 << 20,
+                   help="byte-size analog of --max-cluster-size")
     p.add_argument("--strip-boilerplate", type=float, default=0.0, metavar="FRAC",
                    help="strip lines present in more than FRAC of files before shingling")
     p.add_argument("--est-autoaccept", action="store_true",
@@ -150,6 +156,8 @@ def main(argv: list[str] | None = None) -> None:
         use_edit_distance=args.use_edit_distance,
         dissection=args.cluster_dissection,
         band_freq_cap=args.band_freq_cap,
+        max_cluster_size=args.max_cluster_size,
+        max_cluster_bytes=args.max_cluster_bytes,
         strip_boilerplate_frac=args.strip_boilerplate,
         est_autoaccept=args.est_autoaccept,
         checkpoint_dir=args.checkpoint_dir,
@@ -163,6 +171,13 @@ def main(argv: list[str] | None = None) -> None:
     write_table(result.deduped, args.output)
     dt = time.monotonic() - t0
     n = result.metrics.get("output.files", 0)
+    n_fallback = result.metrics.get("dissect.fallback_clusters", 0)
+    if n_fallback:
+        logger.warning(
+            "%d cluster(s) exceeded --max-cluster-size/--max-cluster-bytes "
+            "and used canonical (min-sha) survivor selection instead of %s",
+            int(n_fallback), cfg.dissection,
+        )
     logger.info("deduped to %s rows in %.1fs; metrics: %s", n, dt, result.metrics)
 
 

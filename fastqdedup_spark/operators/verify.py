@@ -205,17 +205,22 @@ def verify_pairs_jaccard(
     # its join stays a shuffled equi-join on id (the scan-shaped plan
     # that survives 100x data).
     hint = F.broadcast if cfg.est_broadcast else (lambda df: df)
+    est_ran = skip_est  # upstream candidate generation already filtered
     if not skip_est and "sig_packed" in contents.columns and cfg.est_margin > 0:
         pairs = est_prefilter(
             pairs, contents.select(id_col, "sig_packed"), cfg, id_col
         )
-    # The size bound jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|) is EXACT
-    # and cheap (two broadcast probes inside codegen), so it runs even
-    # when the est prefilter already did (skip_est=True, the pipeline
-    # path): the est margin keeps pairs down to est >= (thr-margin)*n,
-    # many of which the size bound kills before content ships to the
-    # Python kernel.
-    have_sizes = size_col is not None and size_col in contents.columns
+        est_ran = True
+    # The size bound jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|) is EXACT,
+    # but it only runs when NO est prefilter did: measured at sf0.1 with
+    # the JIT'd 2-bit est in place (scripts/ab_size_prune.py, best-of-2,
+    # prune_off arm under HIGHER external load), its two extra joins
+    # cost ~25-30% of the whole q14/docs-pipeline wall (4.18 -> 3.08 s,
+    # 7.39 -> 5.68 s) while the est margin already keeps the survivor
+    # stream too clean for the bound to earn its joins back.
+    have_sizes = (
+        not est_ran and size_col is not None and size_col in contents.columns
+    )
     if have_sizes:
         sa = contents.select(
             F.col(id_col).alias("id_a"), F.col(size_col).alias("sz_a")

@@ -96,6 +96,10 @@ def dedup_keys(
             cfg.dissection,
             cfg.max_distance,
             cfg.use_edit_distance,
+            max_cluster_size=cfg.max_cluster_size,
+            max_cluster_bytes=cfg.max_cluster_bytes,
+            # free: the fallback counter rides the sizes job via
+            # Dataset.observe, so metrics cost zero extra actions here
             metrics=ck.metrics,
         ),
     )
@@ -245,8 +249,13 @@ def dedup_files(
             signed.select("sha", F.col("content_norm").alias("cmp")), "sha"
         ).select("cluster_id", F.col("sha").alias("key"), "cnt", "cmp")
         surv_kwargs = {"within": jaccard_within(cfg.jaccard_threshold, cfg.shingle_k)}
-    if collect_metrics:
-        surv_kwargs["metrics"] = ck.metrics
+    surv_kwargs["max_cluster_size"] = cfg.max_cluster_size
+    surv_kwargs["max_cluster_bytes"] = cfg.max_cluster_bytes
+    # always wired: the fallback counter rides the sizes job via
+    # Dataset.observe (zero extra actions), so default runs see the
+    # canonical-fallback signal too — collect_metrics only gates the
+    # count()-based totals below
+    surv_kwargs["metrics"] = ck.metrics
     survivors = ck.stage(
         "survivors",
         lambda: dissect_clusters(surv_input, cfg.dissection, **surv_kwargs),

@@ -80,3 +80,56 @@ def test_mega_cluster_falls_back_to_canonical(spark):
     md = m.as_dict()
     assert md["dissect.fallback_clusters"] == 1
     assert md["dissect.max_cluster_size"] == 10
+
+
+def test_big_byte_cluster_falls_back_to_canonical(spark):
+    """Clusters whose summed cmp payload exceeds max_cluster_bytes route
+    to the canonical fallback even when the member COUNT is small — the
+    collect_list pack would otherwise build a row near Spark's 2 GB
+    limits (VERDICT r3 #6)."""
+    from fastqdedup_spark.checkpoint import MetricsCollector
+    from fastqdedup_spark.operators.dissect import dissect_clusters
+    from fastqdedup_spark.oracle import jaccard_within
+
+    fat = "x y z " * 2000  # 12 kB per member
+    rows = [("c1", f"k{i}", 1, fat + f" tail{i}") for i in range(4)]
+    rows += [("c2", "a1", 2, "alpha beta gamma"), ("c2", "a2", 1, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "cluster_id string, key string, cnt long, cmp string")
+    m = MetricsCollector()
+    out = dissect_clusters(
+        df, "directional", max_cluster_size=100, max_cluster_bytes=20_000,
+        within=jaccard_within(0.6, 5), metrics=m,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.cluster_id, []).append(r.key)
+    assert got["c1"] == ["k0"]  # byte fallback: canonical min key
+    assert got["c2"] == ["a1"]  # under both bounds: kernel ran
+    assert m.as_dict()["dissect.fallback_clusters"] == 1
+
+
+def test_dissect_metrics_mode_adds_zero_jobs(spark):
+    """The fallback counter rides the sizes aggregation via
+    Dataset.observe: metrics mode must schedule NO extra Spark job
+    (VERDICT r3 #3 — a mid-plan count() used to run per dissect call)."""
+    from fastqdedup_spark.checkpoint import MetricsCollector
+    from fastqdedup_spark.operators.dissect import dissect_clusters
+
+    rows = [("c1", "AAAA", 5), ("c1", "AAAT", 1), ("c2", "GGGG", 1)]
+    df = spark.createDataFrame(rows, "cluster_id string, key string, cnt long")
+
+    def n_jobs():
+        return len(spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None))
+
+    dissect_clusters(df, "directional", max_distance=1).collect()  # warm lazy inits
+    before = n_jobs()
+    dissect_clusters(df, "directional", max_distance=1).collect()
+    plain = n_jobs() - before
+    before = n_jobs()
+    dissect_clusters(
+        df, "directional", max_distance=1, metrics=MetricsCollector()
+    ).collect()
+    with_metrics = n_jobs() - before
+    # AQE jitters absolute job counts by +-1; the defended property is
+    # that metrics mode schedules no ADDITIONAL jobs
+    assert with_metrics <= plain
