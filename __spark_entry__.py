@@ -292,7 +292,7 @@ def q14_minhash_near_dup(spark, sf):
     signed = add_signature_columns(files, cfg)
     pairs, _ = minhash_candidate_pairs(signed, cfg, id_col="id")
     verified = verify_pairs_jaccard(
-        pairs, signed.select("id", "content_norm", "n_shingles", "sig_packed"), cfg, id_col="id", skip_est=True
+        pairs, signed.select("id", "shingles", "n_shingles", "sig_packed"), cfg, id_col="id", skip_est=True
     )
     return verified.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -374,6 +374,49 @@ def q19_embedding_near_dup(spark, sf):
     return cosine_dup_pairs(both, threshold=0.99).orderBy("id_a", "id_b")
 
 
+def q20_media_features(spark, sf):
+    """Multimodal audio decode end-to-end: a deterministic media table
+    (PCM-WAV sines / PNG-magic / MP4-magic payloads, no external data)
+    through extract_audio_features — stdlib-PCM codec (soundfile when
+    installed), spectral-band histogram, mime sniff.
+
+    The oracle is CLOSED-FORM, not FFT-in-SQL: every audio payload is a
+    pure sine at an exact-bin frequency (integer cycles over the 0.25 s
+    window -> zero spectral leakage), so the dominant band index is
+    arithmetic — bin = f/4 Hz, band = bin // 63 under array_split's
+    63/62-bin bands — and WAV byte counts follow from the format (44 B
+    header + 2000 samples x 2 B). DuckDB recomputes all of it from
+    first principles; a decode/binning/sniff bug breaks the hash."""
+    from fastqdedup_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        synth_wav,
+    )
+
+    rows = []
+    for i in range(48):
+        kind = ["audio", "image", "video"][i % 3]
+        if kind == "audio":
+            payload = synth_wav(200.0 + 24.0 * i)  # multiples of 4 Hz
+        elif kind == "image":
+            payload = b"\x89PNG" + bytes([i % 256]) * 64
+        else:
+            payload = b"\x00\x00\x00" + bytes([i % 256]) * 64
+        rows.append((i, kind, bytearray(payload), "", 0, 0, 250))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_audio_features(media, dim=16)
+    return out.select(
+        "media_id",
+        "kind",
+        "mime",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        (
+            F.expr("array_position(features, array_max(features))") - F.lit(1)
+        ).cast("int").alias("top_band"),
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -395,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_embedding_bucket_ann": q17_embedding_bucket_ann,
         "q18_doc_fingerprint": q18_doc_fingerprint,
         "q19_embedding_near_dup": q19_embedding_near_dup,
+        "q20_media_features": q20_media_features,
     }
 
 
@@ -690,5 +734,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
             ORDER BY id_a, id_b
+        """,
+        # q20: the decode oracle is closed-form (pure sines at exact-bin
+        # frequencies -> dominant band is arithmetic; WAV sizes follow
+        # from the PCM format) — no FFT needed in SQL, yet a decode,
+        # band-binning, or mime-sniff bug breaks the value hash.
+        "q20_media_features": """
+            SELECT
+                i AS media_id,
+                CASE i % 3 WHEN 0 THEN 'audio' WHEN 1 THEN 'image'
+                    ELSE 'video' END AS kind,
+                CASE i % 3 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/png'
+                    ELSE 'video/mp4' END AS mime,
+                CASE i % 3 WHEN 0 THEN 4044 WHEN 1 THEN 68
+                    ELSE 67 END AS n_bytes,
+                CASE WHEN i % 3 = 0 THEN 16 END AS n_features,
+                -- sine at f = 200 + 24 i Hz over 0.25 s @ 8 kHz:
+                -- spectrum bin = f / 4; 1001 rfft bins split into 16
+                -- bands of 63 (first 9) then 62 -> all audio bins here
+                -- (<= 320) land in the // 63 region
+                CASE WHEN i % 3 = 0 THEN ((200 + 24 * i) // 4) // 63
+                    END AS top_band
+            FROM range(48) t(i)
+            ORDER BY media_id
         """,
     }

@@ -124,11 +124,21 @@ def simhash_bands(df: DataFrame, sig_col: str = "simhash", n_chunks: int = 4) ->
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
     max_hamming: int = 3, portable: bool = False,
+    broadcast_sigs: bool = True,
 ) -> DataFrame:
     """End-to-end SimHash near-dup pair finder: sign -> pigeonhole band
     (n_chunks = max_hamming+1 guarantees 100% recall at the radius) ->
-    capped-free salted self-join -> exact bit_count verify. Returns
-    (id_a, id_b, hamming).
+    capped-free salted self-join with the exact bit_count verify INSIDE
+    the join stage -> distinct. Returns (id_a, id_b, hamming).
+
+    The verify runs as the band join's map-side prefilter (the
+    est-prefilter pattern, operators/verify.py): at radius 8 the
+    pigeonhole chunks are only 7 bits wide, so a 50k-doc corpus floods
+    ~90M raw band pairs — running bit_count over broadcast sig probes
+    BEFORE the pair `distinct` keeps that flood out of the exchange
+    entirely (the signature map is 16 B/doc; `broadcast_sigs=False`
+    falls back to shuffled joins past the broadcast ceiling, same knob
+    semantics as DedupConfig.est_broadcast).
 
     Pigeonhole banding is EXACT, so — like operators/lsh.py's exact
     schemes — oversized bands are never dropped (that silently lost true
@@ -148,12 +158,22 @@ def simhash_near_dup_pairs(
     ).localCheckpoint(eager=True)
     bands = simhash_bands(signed, n_chunks=max_hamming + 1).select("nid", "band_hash")
     cfg = DedupConfig()
-    pairs, _ = _pairs_from_bands(bands, "nid", cfg, cap=None)
+    hint = F.broadcast if broadcast_sigs else (lambda d: d)
     sa = signed.select(F.col("nid").alias("id_a"), F.col("simhash").alias("sig_a"))
     sb = signed.select(F.col("nid").alias("id_b"), F.col("simhash").alias("sig_b"))
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", hamming64("sig_a", "sig_b").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+
+    def verify_inline(raw: DataFrame) -> DataFrame:
+        return (
+            raw.join(hint(sa), "id_a")
+            .join(hint(sb), "id_b")
+            .withColumn("hamming", hamming64("sig_a", "sig_b"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    # hamming is deterministic per pair, so carrying it through the
+    # distinct leaves the pair set unchanged
+    pairs, _ = _pairs_from_bands(
+        bands, "nid", cfg, cap=None, prefilter=verify_inline,
+        extra_cols=["hamming"],
     )
+    return pairs.select("id_a", "id_b", "hamming")

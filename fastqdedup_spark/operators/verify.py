@@ -43,27 +43,46 @@ def verify_pairs_distance(
     return withv.filter(udf("value_a", "value_b")).select("id_a", "id_b")
 
 
-def make_jaccard_udf(k: int):
+def make_jaccard_udf(k: int, cache_cap_bytes: int = 512 << 20):
     """Exact Jaccard over char-k-gram shingle sets of two text columns.
 
     Batch optimizations (hub documents appear in MANY candidate pairs —
     the hot-band skew shape):
     - texts are factorized per Arrow batch, so each distinct document's
       shingle set is hashed and uniqued ONCE per batch, not once per pair;
+    - a per-TASK cache carries shingle sets ACROSS batches, so a
+      document is shingled once per task, not once per batch. Measured
+      without it (192k files): per-partition re-shingling made the
+      verify stage's python work grow ~linearly with the partition
+      count — 1135 executor-core-seconds at 32 partitions, flat wall
+      8->32 cores. Callers co-partition pairs by id_a so each document's
+      pairs concentrate in few tasks (verify_pairs_jaccard below);
     - intersections run via searchsorted on the pre-sorted unique arrays
       (no allocation, no re-sort) — the vectorized analog of the
       reference's fast-fail compare loop (distances.h:24-27).
     """
 
+    # captured by the UDF closure: pickled empty with the task binary,
+    # deserialized per task, and MUTATED across that task's batches
+    cache: dict = {}
+
     @F.pandas_udf(T.DoubleType())
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import os as _os
+        import time as _time
+
+        _prof = _os.environ.get("FASTQDEDUP_VERIFY_PROF")
+        _t0 = _time.monotonic()
         both = pd.concat([a.fillna(""), b.fillna("")], ignore_index=True)
         codes, uniques = pd.factorize(both)
-        H, starts, counts = shingle_window_hashes(list(uniques), k)
-        sets = [
-            np.unique(H[starts[i] : starts[i] + counts[i]])
-            for i in range(len(uniques))
-        ]
+        _t1 = _time.monotonic()
+        missing = [u for u in uniques if u not in cache]
+        if missing:
+            H, starts, counts = shingle_window_hashes(missing, k)
+            for i, u in enumerate(missing):
+                cache[u] = np.unique(H[starts[i] : starts[i] + counts[i]])
+        _t2 = _time.monotonic()
+        sets = [cache[u] for u in uniques]
         n = len(a)
         ca, cb = codes[:n], codes[n:]
         out = np.zeros(n, dtype=np.float64)
@@ -81,9 +100,65 @@ def make_jaccard_udf(k: int):
             idx[idx == ny] = ny - 1
             inter = int(np.count_nonzero(ys[idx] == xs))
             out[i] = inter / (nx + ny - inter)
+        # bound the cache AFTER the batch (keys reference the batch's
+        # strings; dropping everything is simpler and still amortizes
+        # within the common case of a task far below the cap)
+        if sum(v.nbytes for v in cache.values()) > cache_cap_bytes:
+            cache.clear()
+        if _prof:
+            _t3 = _time.monotonic()
+            with open(_prof, "a") as f:
+                f.write(
+                    f"{_os.getpid()} n={n} uniq={len(uniques)} "
+                    f"miss={len(missing)} fact={_t1 - _t0:.3f} "
+                    f"shingle={_t2 - _t1:.3f} inter={_t3 - _t2:.3f}\n"
+                )
         return pd.Series(out)
 
-    return _udf
+    # asNondeterministic = "evaluate exactly once, where declared".
+    # Without it, Catalyst pushed the jaccard filter BELOW the locality
+    # repartition — the UDF ran over the full pair stream on the
+    # band-ordered pre-exchange partitioning (no locality, so the
+    # per-task shingle cache never hit) and then re-ran a SECOND time
+    # above the exchange for the output projection. Observed as two
+    # ArrowEvalPython nodes straddling the Exchange in the verify plan.
+    return _udf.asNondeterministic()
+
+
+def make_packed_jaccard_udf():
+    """Exact Jaccard over PRE-SHINGLED sets: each input is the binary
+    serialization (little-endian uint64, sorted unique) produced once
+    per document by the signer (minhash.add_signature_columns). The
+    kernel is frombuffer + searchsorted — no hashing, no allocation of
+    shingle sets, so python cost is strictly proportional to the pair
+    count (the content-shingling kernel above re-shingled each doc once
+    per partition it appeared in)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.zeros(n, dtype=np.float64)
+        av, bv = a.to_numpy(), b.to_numpy()
+        for i in range(n):
+            pa, pb = av[i], bv[i]
+            xs = np.frombuffer(pa, dtype="<u8") if pa is not None else np.empty(0)
+            ys = np.frombuffer(pb, dtype="<u8") if pb is not None else np.empty(0)
+            nx, ny = len(xs), len(ys)
+            if not nx and not ny:
+                out[i] = 1.0
+                continue
+            if not nx or not ny:
+                continue
+            if nx > ny:
+                xs, ys, nx, ny = ys, xs, ny, nx
+            idx = np.searchsorted(ys, xs)
+            idx[idx == ny] = ny - 1
+            inter = int(np.count_nonzero(ys[idx] == xs))
+            out[i] = inter / (nx + ny - inter)
+        return pd.Series(out)
+
+    # same once-where-declared pinning as make_jaccard_udf
+    return _udf.asNondeterministic()
 
 
 _PAIR_MASK = 0x5555555555555555  # low bit of every 2-bit lane
@@ -196,8 +271,19 @@ def verify_pairs_jaccard(
     Python using the exact bound jaccard(A,B) <= min(|A|,|B|) /
     max(|A|,|B|) — a true upper bound, so the surviving pair set is
     identical, but skewed candidate floods (boilerplate bands) shrink
-    inside whole-stage codegen."""
-    jac = make_jaccard_udf(cfg.shingle_k)
+    inside whole-stage codegen.
+
+    When `contents` carries a `shingles` binary column (the signer's
+    pre-serialized sorted shingle sets), the verify kernel is the
+    packed-set one — python cost strictly proportional to the pair
+    count; otherwise it falls back to re-shingling content per pair
+    batch (direct callers without a signature stage)."""
+    packed = "shingles" in contents.columns
+    if packed:
+        jac = make_packed_jaccard_udf()
+        content_col = "shingles"
+    else:
+        jac = make_jaccard_udf(cfg.shingle_k)
     # Small per-doc METADATA (sketches, shingle sizes) broadcasts
     # explicitly under cfg.est_broadcast so pruning happens map-side.
     # The CONTENT table never broadcasts — it exceeds any broadcast
@@ -244,8 +330,19 @@ def verify_pairs_jaccard(
         pairs, contents.select(id_col, content_col), id_col, content_col
     )
     # CPU-bound verify: fan out to full parallelism (AQE's byte-based
-    # coalescing would run the pair kernel on a handful of cores)
-    withv = withv.repartition(withv.sparkSession.sparkContext.defaultParallelism)
+    # coalescing would run the pair kernel on a handful of cores) — but
+    # partition by id_a, NOT round-robin: near-dup pairs are clustered,
+    # so grouping a document's pairs into the same task lets the UDF's
+    # per-task shingle cache amortize each document's shingling across
+    # its pairs. Round-robin scattered every hot document into every
+    # partition and the python re-shingling work grew ~linearly with
+    # the partition count (the stage's 8->32-core scaling was FLAT).
+    # The small id_b salt caps hub-id_a skew at 4 tasks per id_a.
+    withv = withv.repartition(
+        withv.sparkSession.sparkContext.defaultParallelism,
+        "id_a",
+        F.pmod(F.xxhash64("id_b"), F.lit(4)),
+    )
     return (
         withv.withColumn("jaccard", jac("value_a", "value_b"))
         .filter(F.col("jaccard") >= cfg.jaccard_threshold)

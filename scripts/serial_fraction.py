@@ -56,8 +56,11 @@ def child_bw() -> None:
         np.multiply(c, 3.0, out=a)
         a += b
     dt = time.monotonic() - t0
-    # triad moves 3 arrays x 8 B x n per iter (2 reads + 1 write), x2 ops
-    gb = 2 * BW_ITERS * 3 * n * 8 / 1e9
+    # 5 array passes per iter: multiply = read c + write a; in-place
+    # add = read a + read b + write a (ADVICE r3: the earlier 6-pass
+    # accounting overstated GB/s ~20%; write-allocate traffic on the
+    # stores would add ~2 more passes — we report the conservative 5)
+    gb = BW_ITERS * 5 * n * 8 / 1e9
     print(json.dumps({"gb_per_s": round(gb / dt, 2), "sec": round(dt, 2)}))
 
 

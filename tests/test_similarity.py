@@ -12,6 +12,7 @@ from fastqdedup_spark.operators.suffix_array import (
     suffix_array,
 )
 from fastqdedup_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     extract_media_features,
     frame_sample_plan,
     synth_media,
@@ -240,3 +241,60 @@ def test_media_decode_without_pil_raises(spark):
     media = synth_media(spark, n=2)
     with pytest.raises(NotImplementedError, match="Pillow"):
         extract_media_features(media, decode=True)
+
+
+def test_audio_kernel_decodes_pcm_wav():
+    """Pure-kernel matrix (no Spark): valid PCM -> normalized spectral
+    histogram concentrated at the sine's band; corrupt -> None."""
+    from fastqdedup_spark.operators.multimodal import (
+        decode_wav_samples,
+        spectral_histogram,
+        synth_wav,
+    )
+
+    low, high = synth_wav(200.0), synth_wav(3500.0)
+    xl, xh = decode_wav_samples(low), decode_wav_samples(high)
+    assert xl is not None and len(xl) == 2000 and abs(float(xl.max()) - 0.5) < 0.01
+    fl, fh = spectral_histogram(xl, 16), spectral_histogram(xh, 16)
+    assert abs(float(fl.sum()) - 1.0) < 1e-5
+    # 200 Hz at 8 kHz rate -> first of 16 bands; 3500 Hz -> bin 875 of
+    # 1001, band 13 under array_split's uneven 63/62-bin bands
+    assert int(np.argmax(fl)) == 0 and int(np.argmax(fh)) == 13
+    assert decode_wav_samples(b"RIFF" + b"\x00" * 40) is None
+    assert decode_wav_samples(b"not audio at all") is None
+
+
+def test_audio_decode_matrix(spark):
+    """Spark-side matrix mirroring the image decode tests (VERDICT r3
+    #8): valid wavs -> real features, dup payloads -> identical
+    features, non-audio payloads -> null features, schema holds."""
+    from fastqdedup_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_wav,
+    )
+
+    wav_a, wav_b = synth_wav(440.0), synth_wav(1200.0)
+    rows = [
+        (0, "audio", bytearray(wav_a), "", 0, 0, 250),
+        (1, "audio", bytearray(wav_b), "", 0, 0, 250),
+        (2, "audio", bytearray(wav_a), "", 0, 0, 250),   # dup of 0
+        (3, "video", bytearray(b"\x00\x00\x00junk"), "", 0, 0, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_audio_features(media, dim=16).collect()}
+    assert len(out) == 4
+    assert out[0].mime == "audio/wav" and out[0].n_bytes == len(wav_a)
+    assert out[0].features is not None and len(out[0].features) == 16
+    assert out[0].features == out[2].features          # dup -> identical
+    assert out[0].features != out[1].features          # different tone
+    assert out[3].features is None                     # no video codec
+
+
+def test_audio_decode_fake_path_matches_image_contract(spark):
+    """decode=False: deterministic-fake features, same as the image
+    operator's default path."""
+    from fastqdedup_spark.operators.multimodal import extract_audio_features
+
+    media = synth_media(spark, n=6)
+    rows = extract_audio_features(media, dim=8, decode=False).collect()
+    assert all(len(r.features) == 8 for r in rows)
