@@ -204,8 +204,7 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         in_cols = df.columns
     assert cfg.num_perm % 32 == 0, "2-bit sketch packs 32 bins/long"
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema) \
-        + ", n_shingles int, band_hash array<bigint>, sig_packed array<bigint>" \
-        + ", shingles binary"
+        + ", n_shingles int, band_hash array<bigint>, sig_packed array<bigint>"
     k, num_perm, bands, seed = cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.seed
     # CPU-bound Python stage: AQE coalesces by BYTES and would starve it
     # down to a few cores — fan back out to the full parallelism first.
@@ -217,18 +216,13 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
             H, starts, counts = shingle_window_hashes(texts, k)
             sig = oph_signatures(H, starts, counts, num_perm, seed).view(np.int64)
             bh = band_hashes_from_sig(sig, bands, seed)
-            # sorted-unique shingle hash sets, computed ONCE here and
-            # serialized (little-endian uint64) for the exact-verify
-            # stage: re-deriving them from content in the verify UDF
-            # cost ~5 shinglings per doc across partitions (measured
-            # 669 of ~900 python-core-seconds at 192k files) — the
-            # verify kernel now just np.frombuffer's these.
-            uniq = [
-                np.unique(H[starts[i] : starts[i] + counts[i]])
-                for i in range(len(starts))
-            ]
             n_unique = np.fromiter(
-                (len(u) for u in uniq), dtype=np.int32, count=len(uniq)
+                (
+                    len(np.unique(H[starts[i] : starts[i] + counts[i]]))
+                    for i in range(len(starts))
+                ),
+                dtype=np.int32,
+                count=len(starts),
             )
             # pack the low 2 BITS of every bin: 128 bins -> 4 longs (32
             # bins/word). The est-Jaccard prefilter counts agreeing
@@ -250,7 +244,6 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
             pdf["n_shingles"] = n_unique  # distinct shingles: exact |set|
             pdf["band_hash"] = list(bh)
             pdf["sig_packed"] = list(packed)
-            pdf["shingles"] = [u.astype("<u8").tobytes() for u in uniq]
             yield pdf
 
     return df.mapInPandas(gen, out_schema)

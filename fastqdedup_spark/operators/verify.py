@@ -125,40 +125,16 @@ def make_jaccard_udf(k: int, cache_cap_bytes: int = 512 << 20):
     return _udf.asNondeterministic()
 
 
-def make_packed_jaccard_udf():
-    """Exact Jaccard over PRE-SHINGLED sets: each input is the binary
-    serialization (little-endian uint64, sorted unique) produced once
-    per document by the signer (minhash.add_signature_columns). The
-    kernel is frombuffer + searchsorted — no hashing, no allocation of
-    shingle sets, so python cost is strictly proportional to the pair
-    count (the content-shingling kernel above re-shingled each doc once
-    per partition it appeared in)."""
-
-    @F.pandas_udf(T.DoubleType())
-    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        n = len(a)
-        out = np.zeros(n, dtype=np.float64)
-        av, bv = a.to_numpy(), b.to_numpy()
-        for i in range(n):
-            pa, pb = av[i], bv[i]
-            xs = np.frombuffer(pa, dtype="<u8") if pa is not None else np.empty(0)
-            ys = np.frombuffer(pb, dtype="<u8") if pb is not None else np.empty(0)
-            nx, ny = len(xs), len(ys)
-            if not nx and not ny:
-                out[i] = 1.0
-                continue
-            if not nx or not ny:
-                continue
-            if nx > ny:
-                xs, ys, nx, ny = ys, xs, ny, nx
-            idx = np.searchsorted(ys, xs)
-            idx[idx == ny] = ny - 1
-            inter = int(np.count_nonzero(ys[idx] == xs))
-            out[i] = inter / (nx + ny - inter)
-        return pd.Series(out)
-
-    # same once-where-declared pinning as make_jaccard_udf
-    return _udf.asNondeterministic()
+# Design note (measured, do not relearn): pre-serializing each doc's
+# sorted shingle set in the signer and shipping it to verify instead of
+# content ("packed kernel") removes ALL python-side shingling — but the
+# payload is ~7x the normalized content (5.7 KB vs 0.8 KB per doc on
+# the synthetic corpus), and the attach-join + repartition shuffle plus
+# Arrow transfer of the fatter rows cost far more than the shingling
+# saved: verify wall 94 s vs 18 s at 32 cores under comparable load.
+# The text kernel + per-task cache + id_a co-partitioning is the
+# winning combination; revisit packing only for corpora whose contents
+# are much larger than their shingle sets.
 
 
 _PAIR_MASK = 0x5555555555555555  # low bit of every 2-bit lane
@@ -273,17 +249,10 @@ def verify_pairs_jaccard(
     identical, but skewed candidate floods (boilerplate bands) shrink
     inside whole-stage codegen.
 
-    When `contents` carries a `shingles` binary column (the signer's
-    pre-serialized sorted shingle sets), the verify kernel is the
-    packed-set one — python cost strictly proportional to the pair
-    count; otherwise it falls back to re-shingling content per pair
-    batch (direct callers without a signature stage)."""
-    packed = "shingles" in contents.columns
-    if packed:
-        jac = make_packed_jaccard_udf()
-        content_col = "shingles"
-    else:
-        jac = make_jaccard_udf(cfg.shingle_k)
+    The kernel re-shingles content per batch with a per-task cache and
+    id_a co-partitioning (see make_jaccard_udf and the packed-kernel
+    design note above)."""
+    jac = make_jaccard_udf(cfg.shingle_k)
     # Small per-doc METADATA (sketches, shingle sizes) broadcasts
     # explicitly under cfg.est_broadcast so pruning happens map-side.
     # The CONTENT table never broadcasts — it exceeds any broadcast

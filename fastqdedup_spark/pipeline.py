@@ -205,7 +205,7 @@ def dedup_files(
             cand = cand.filter(F.col("est_matches") < hi)
         verified = verify_pairs_jaccard(
             cand.select("id_a", "id_b"),
-            signed.select("nid", "shingles", "n_shingles", "sig_packed"),
+            signed.select("nid", "content_norm", "n_shingles", "sig_packed"),
             cfg,
             id_col="nid",
             skip_est=True,

@@ -47,7 +47,8 @@ def child(cores: int, n_files: int) -> None:
         dt = time.monotonic() - t0
         best = min(best, dt) if best else dt
     print(json.dumps({"cores": cores, "n_files": n_files, "sec": round(best, 2),
-                      "files_per_sec": round(n_files / best, 1), "files_out": n_out}))
+                      "files_per_sec": round(n_files / best, 1), "files_out": n_out,
+                      "load1m": round(os.getloadavg()[0], 1)}))
 
 
 def main() -> None:

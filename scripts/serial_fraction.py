@@ -97,16 +97,23 @@ def _run_pinned(kind: str, n_procs: int) -> float:
     return round(total, 2)
 
 
-def control(kind: str) -> dict:
-    res = {}
-    for p in (1, 8, 32):
-        res[p] = _run_pinned(kind, p)
+def control(kind: str, reps: int = 3) -> dict:
+    """Best-of-N interleaved waves per width: the sandbox's external
+    load arrives in ~10-minute bursts, and a single contaminated wave
+    skews the ceiling 2x (observed: 1-proc triad 6.99 vs 13.64 GB/s in
+    the same hour). Contention only ever slows a wave, so max-of-N is
+    the least-biased estimator of the quiet-machine ceiling."""
+    res = {p: 0.0 for p in (1, 8, 32)}
+    for _ in range(reps):
+        for p in (1, 8, 32):
+            res[p] = max(res[p], _run_pinned(kind, p))
     eff = res[32] / (4 * res[8])
     label = "aggregate_gb_per_s" if kind == "bw" else "aggregate_mops"
     out = {
         "control": "dram_triad" if kind == "bw" else "cpu_splitmix",
         label: res,
         "efficiency_8_to_32": round(eff, 3),
+        "reps": reps,
     }
     print(json.dumps(out))
     return out
