@@ -63,8 +63,15 @@ def make_jaccard_udf(k: int, cache_cap_bytes: int = 512 << 20):
     """
 
     # captured by the UDF closure: pickled empty with the task binary,
-    # deserialized per task, and MUTATED across that task's batches
+    # deserialized per task, and MUTATED across that task's batches.
+    # Eviction is LRU-half (python dicts are insertion-ordered; hits
+    # refresh recency via pop+reinsert) with incremental byte
+    # accounting — the earlier clear-all-at-cap design THRASHED when a
+    # task's distinct-doc footprint sat near the cap (768k files: the
+    # verify stage burned ~5,000 executor-core-seconds re-shingling in
+    # cycles, its wall identical at 8 and 32 cores).
     cache: dict = {}
+    cache_bytes = [0]
 
     @F.pandas_udf(T.DoubleType())
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -76,11 +83,19 @@ def make_jaccard_udf(k: int, cache_cap_bytes: int = 512 << 20):
         both = pd.concat([a.fillna(""), b.fillna("")], ignore_index=True)
         codes, uniques = pd.factorize(both)
         _t1 = _time.monotonic()
-        missing = [u for u in uniques if u not in cache]
+        missing = []
+        for u in uniques:
+            v = cache.pop(u, None)
+            if v is None:
+                missing.append(u)
+            else:
+                cache[u] = v  # reinsert: most-recently-used at the end
         if missing:
             H, starts, counts = shingle_window_hashes(missing, k)
             for i, u in enumerate(missing):
-                cache[u] = np.unique(H[starts[i] : starts[i] + counts[i]])
+                arr = np.unique(H[starts[i] : starts[i] + counts[i]])
+                cache[u] = arr
+                cache_bytes[0] += arr.nbytes
         _t2 = _time.monotonic()
         sets = [cache[u] for u in uniques]
         n = len(a)
@@ -100,11 +115,13 @@ def make_jaccard_udf(k: int, cache_cap_bytes: int = 512 << 20):
             idx[idx == ny] = ny - 1
             inter = int(np.count_nonzero(ys[idx] == xs))
             out[i] = inter / (nx + ny - inter)
-        # bound the cache AFTER the batch (keys reference the batch's
-        # strings; dropping everything is simpler and still amortizes
-        # within the common case of a task far below the cap)
-        if sum(v.nbytes for v in cache.values()) > cache_cap_bytes:
-            cache.clear()
+        # evict AFTER the batch (this batch's entries sit at the MRU end
+        # and `sets` holds its arrays regardless): LRU-half keeps hot
+        # documents across the cap boundary
+        if cache_bytes[0] > cache_cap_bytes:
+            for key in list(cache)[: max(len(cache) // 2, 1)]:
+                cache_bytes[0] -= cache[key].nbytes
+                del cache[key]
         if _prof:
             _t3 = _time.monotonic()
             with open(_prof, "a") as f:
@@ -306,7 +323,14 @@ def verify_pairs_jaccard(
     # its pairs. Round-robin scattered every hot document into every
     # partition and the python re-shingling work grew ~linearly with
     # the partition count (the stage's 8->32-core scaling was FLAT).
-    # The small id_b salt caps hub-id_a skew at 4 tasks per id_a.
+    # The in-partition sort makes each id_a's pairs CONTIGUOUS, so a
+    # batch's working set is a handful of A-documents — the LRU cache
+    # stays far below its cap even when a task's total distinct-doc
+    # footprint exceeds it. The 4-way id_b salt bounds hot-id_a skew:
+    # without it one boilerplate hub's pairs made a straggler task and
+    # the 32-core wall REGRESSED 53 -> 94 s at 192k files (quiet run)
+    # while 8 cores improved — skew costs the most exactly where
+    # parallelism is widest.
     withv = withv.repartition(
         withv.sparkSession.sparkContext.defaultParallelism,
         "id_a",

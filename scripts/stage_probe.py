@@ -81,11 +81,27 @@ def main():
         s for s in rest(f"/applications/{app_id}/stages?status=complete")
         if s["stageId"] not in before
     ]
+    from datetime import datetime
+
+    def ts(s, k):
+        try:
+            return datetime.strptime(
+                s[k].replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f"
+            ).timestamp()
+        except Exception:
+            return None
+
     rows = []
+    stage_wall = 0.0
     for s in stages:
+        t_a, t_b = ts(s, "firstTaskLaunchedTime"), ts(s, "completionTime")
+        sw = round(t_b - t_a, 2) if t_a and t_b else None
+        if sw:
+            stage_wall += sw
         rows.append({
             "id": s["stageId"],
             "tasks": s["numCompleteTasks"],
+            "wall": sw,
             "runT": round(s["executorRunTime"] / 1e3, 2),
             "cpuT": round(s["executorCpuTime"] / 1e9, 2),
             "gcT": round(s["jvmGcTime"] / 1e3, 2),
@@ -93,6 +109,14 @@ def main():
             "shR_mb": round(s["shuffleReadBytes"] / 1e6, 1),
             "name": s["name"].split("\n")[0][:70],
         })
+    # stages can overlap (parallel jobs), so sum(stage walls) is an
+    # upper bound on executor-busy wall; wall - sum = at least this much
+    # driver/scheduling gap
+    print(json.dumps({
+        "sum_stage_walls": round(stage_wall, 1),
+        "driver_gap_lower_bound": round(max(wall - stage_wall, 0.0), 1),
+        "n_stages": len(rows),
+    }), flush=True)
     rows.sort(key=lambda r: -r["runT"])
     for r in rows[:3]:
         try:
