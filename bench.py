@@ -96,6 +96,19 @@ def bench_q16_prod(spark):
 
 
 def main() -> None:
+    # capture the JVM's stderr for the whole run: a codegen failure
+    # (janino 64 KB, compile error) silently downgrades a hot stage to
+    # non-codegen execution and only shows as an ERROR log line — count
+    # it INTO the bench artifact so the regression is a number, not a
+    # grep. The captured stream is replayed to the real stderr at exit.
+    import tempfile
+
+    orig_err = os.dup(2)
+    errf = tempfile.NamedTemporaryFile(
+        mode="w+", prefix="bench_stderr_", suffix=".log", delete=False
+    )
+    os.dup2(errf.fileno(), 2)
+
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).agg(F.sum("id")).collect()  # JVM warm-up
@@ -138,6 +151,11 @@ def main() -> None:
         extras[p]["files_per_sec"] = round(extras[p]["files_in"] / timings[p], 1)
 
     total = round(sum(timings.values()), 3)
+    os.fsync(2)
+    with open(errf.name) as f:
+        err_text = f.read()
+    os.dup2(orig_err, 2)
+    sys.stderr.write(err_text)
     print(
         json.dumps(
             {
@@ -148,6 +166,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "reps": REPS,
+                "codegen_errors": err_text.count("ERROR CodeGenerator"),
                 "detail": extras,
             }
         )

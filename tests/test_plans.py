@@ -54,3 +54,46 @@ def test_exact_dedup_single_shuffle(spark):
     audit = plan_audit(q)
     assert audit["exchanges"] == 1
     assert "Window" not in formatted_plan(q)
+
+
+def test_verify_udf_evaluates_exactly_once(spark):
+    """The exact-Jaccard pandas UDF must appear as ONE ArrowEvalPython
+    node: without the asNondeterministic pin, Catalyst pushed the
+    jaccard filter below the locality repartition and the UDF ran twice
+    (full stream below the exchange + survivors above it)."""
+    from fastqdedup_spark.config import DedupConfig
+    from fastqdedup_spark.operators.verify import verify_pairs_jaccard
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.5, est_margin=0.0)
+    contents = spark.createDataFrame(
+        [(i, f"doc number {i} alpha beta") for i in range(20)],
+        "id long, content_norm string",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+    )
+    out = verify_pairs_jaccard(
+        pairs, contents, cfg, id_col="id", size_col=None, skip_est=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_est_expression_stays_bit_count_sized(spark):
+    """The est-prefilter expression must stay O(num_perm/32) lanes —
+    the 128-term byte-compare ancestor overflowed janino's 64 KB method
+    limit and the pair stage silently ran without codegen (and its SWAR
+    'fix' exceeded HotSpot's JIT limit: 177x slower). One element_at
+    pair + one bit_count per 32-bin word is the contract."""
+    from fastqdedup_spark.config import DedupConfig
+    from fastqdedup_spark.operators.verify import est_jaccard_matches
+
+    for num_perm in (64, 128):
+        cfg = DedupConfig(num_perm=num_perm)
+        s = str(est_jaccard_matches(cfg)._jc)
+        n_words = num_perm // 32
+        # the x = a^b operand appears twice per word in the raw tree
+        # (codegen's subexpression elimination dedupes it): 2 element_at
+        # per xor x 2 occurrences = 4 per word
+        assert s.count("element_at") == 4 * n_words, s
+        assert s.count("bit_count") == n_words, s
