@@ -197,6 +197,12 @@ def dedup_files(
             # bound symmetric to the prefilter's false-drop bound, see
             # DedupConfig.est_autoaccept); only the borderline band
             # pays for the exact Arrow-side Jaccard.
+            if fuse:
+                # the split filters cand TWICE (certain + borderline);
+                # a fused (lazy) pair plan would re-run its reduce side
+                # for each branch — same class of double-scan the CC
+                # self-union had
+                cand = cand.localCheckpoint(eager=True)
             hi = min(
                 est_min_matches(cfg, cfg.jaccard_threshold + cfg.est_margin) + 1,
                 cfg.num_perm,
