@@ -210,7 +210,11 @@ def q11_bigram_jaccard(spark, sf, freq_cap: int | None = None, drop_stats: dict 
     if freq_cap is not None:
         hot = b.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("f"))
         if drop_stats is not None:
-            drop_stats["dropped_bigrams"] = hot.filter(F.col("f") > freq_cap).count()
+            # LAZY: the caller counts this AFTER its timing window — a
+            # production run never pays the diagnostic job (VERDICT r4
+            # #1 residual). It scans the localCheckpointed `b`, so the
+            # deferred count stays cheap.
+            drop_stats["_dropped_lazy"] = hot.filter(F.col("f") > freq_cap)
         b = b.join(
             hot.filter(F.col("f") <= freq_cap).select("source", "bg"),
             ["source", "bg"],

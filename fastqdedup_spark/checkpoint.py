@@ -81,9 +81,31 @@ class StageCheckpointer:
             else ""
         )
         self.metrics = MetricsCollector()
+        self._persisted: dict[str, list[tuple[str, float]]] | None = None
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.base, stage)
+
+    def _persisted_stage_metrics(self, stage: str) -> list[tuple[str, float]]:
+        """Metrics persisted by a PREVIOUS run's write_metrics. Observed
+        counters (Dataset.observe + add_lazy) never fire on a resumed
+        stage — the observed plan is replaced by a parquet scan — so
+        without this reload the CLI's fallback-cluster warning would be
+        silently absent on resumed runs. Loaded once per checkpointer;
+        absent/partial _metrics (run killed before write_metrics) just
+        yields nothing."""
+        if self._persisted is None:
+            self._persisted = {}
+            mpath = os.path.join(self.base, "_metrics")
+            if self.base and os.path.exists(os.path.join(mpath, "_SUCCESS")):
+                try:
+                    for r in self.spark.read.parquet(mpath).collect():
+                        self._persisted.setdefault(r["stage"], []).append(
+                            (r["metric"], r["value"])
+                        )
+                except Exception:
+                    pass
+        return self._persisted.get(stage, [])
 
     def has(self, stage: str) -> bool:
         return bool(self.base) and os.path.exists(
@@ -91,7 +113,11 @@ class StageCheckpointer:
         )
 
     def stage(
-        self, name: str, build: Callable[[], DataFrame], fuse: bool = False
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        fuse: bool = False,
+        reload_metrics: tuple[str, ...] = (),
     ) -> DataFrame:
         """Build-or-load. Materialized by default: parquet when a
         checkpoint dir is configured (durable resume), eager
@@ -105,6 +131,13 @@ class StageCheckpointer:
         if self.has(name):
             df = self.spark.read.parquet(self._path(name))
             self.metrics.add(name, "resumed", 1)
+            # `reload_metrics` names metric-stages whose counters were
+            # observed while BUILDING this stage (e.g. "dissect" rides
+            # the "survivors" build) — they never fire on resume.
+            for mstage in (name, *reload_metrics):
+                for metric, value in self._persisted_stage_metrics(mstage):
+                    if metric not in ("seconds", "resumed"):
+                        self.metrics.add(mstage, metric, value)
             return df
         df = build()
         if self.base:

@@ -56,12 +56,16 @@ class DedupConfig:
     # clears threshold + est_margin WITHOUT exact re-verification (the
     # borderline band [thr - margin, thr + margin) still verifies
     # exactly). The per-pair false-accept bound is symmetric to the
-    # prefilter's false-drop bound: P[true j < thr | est >= thr +
-    # margin] <= exp(-2*num_perm*margin^2) ~ 4e-5 at the defaults — and
-    # cuts the Python verify stage ~10x on near-dup-heavy corpora. BUT
-    # connected components amplifies it TRANSITIVELY: one false edge
-    # merges two whole clusters, so the per-OUTPUT error is bounded by
-    # (candidate pairs) x 4e-5 cluster-merge events, not 4e-5 per pair.
+    # prefilter's false-drop bound — with the 2-bit-lane sketch a
+    # Jaccard margin m maps to only 0.75*m in bin-match-probability
+    # space (est_bin_match_prob: j -> j + (1-j)/4), so the Hoeffding
+    # bound is P[true j < thr | est >= thr + margin]
+    # <= exp(-2*num_perm*(0.75*margin)^2) ~ 3e-3 at the defaults
+    # (num_perm=128, margin=0.2) — and cuts the Python verify stage
+    # ~10x on near-dup-heavy corpora. BUT connected components
+    # amplifies it TRANSITIVELY: one false edge merges two whole
+    # clusters, so the per-OUTPUT error is bounded by (candidate
+    # pairs) x 3e-3 cluster-merge events, not 3e-3 per pair.
     # Default False: the default pipeline verifies every edge exactly
     # (same semantics as the reference); enable explicitly
     # (--est-autoaccept) when approximate clustering is acceptable.

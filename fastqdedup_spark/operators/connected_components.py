@@ -166,7 +166,10 @@ def connected_components(
         else:
             new = _build().localCheckpoint(eager=True)
         labels = new.select("id", "label")
+        # single frontier build: the emptiness probe runs on the SAME
+        # filtered plan the next round consumes (one limit(1) job over
+        # the checkpointed round, not two separate filter scans)
         frontier = new.filter("changed").select("id", "label")
-        if new.filter("changed").limit(1).isEmpty():
+        if frontier.limit(1).isEmpty():
             break
     return labels.withColumnRenamed("label", "cluster_id"), rounds

@@ -95,9 +95,15 @@ def dissect_clusters(
         F.count(F.lit(1)).alias("_csize"),
         F.coalesce(byte_expr.cast("long"), F.lit(0)).alias("_cbytes"),
     )
-    oversized = (F.col("_csize") > max_cluster_size) | (
-        F.col("_cbytes") > max_cluster_bytes
-    )
+    # A singleton is never "oversized": every method returns the lone
+    # member, so it needs no dissection kernel regardless of bytes.
+    # Without the _csize > 1 guard a byte-oversized single-member
+    # cluster would match BOTH the singles branch and the big branch
+    # and its survivor row would be emitted twice by the final union.
+    oversized = (
+        (F.col("_csize") > max_cluster_size)
+        | (F.col("_cbytes") > max_cluster_bytes)
+    ) & (F.col("_csize") > 1)
     if metrics is not None:
         # the fallback counter rides the SAME job as the sizes
         # aggregation via Dataset.observe — counting it used to cost an

@@ -102,6 +102,7 @@ def dedup_keys(
             # Dataset.observe, so metrics cost zero extra actions here
             metrics=ck.metrics,
         ),
+        reload_metrics=("dissect",),
     )
     surv = survivors.select(F.col("key").alias("__surv_key"))
     deduped = keys.join(
@@ -181,6 +182,12 @@ def dedup_files(
     pairs_lazy, band_metrics = minhash_candidate_pairs(
         signed, cfg, id_col="nid", keep_est=cfg.est_autoaccept
     )
+    # minhash_candidate_pairs runs the est prefilter only when a packed
+    # sketch exists AND est_margin > 0 — mirror that exact condition
+    # instead of hardcoding skip_est=True, so an est_margin=0 run still
+    # gets the exact size-bound prune in verify (otherwise the full
+    # unfiltered pair flood would ship content to the Python kernel).
+    est_ran_upstream = "sig_packed" in signed.columns and cfg.est_margin > 0
     # pairs feeds only the verify stage and edges feed only the CC
     # sym-checkpoint: both fuse into their consumer (one fewer pipeline
     # barrier each) — unless metrics mode counts them or a durable
@@ -214,7 +221,7 @@ def dedup_files(
             signed.select("nid", "content_norm", "n_shingles", "sig_packed"),
             cfg,
             id_col="nid",
-            skip_est=True,
+            skip_est=est_ran_upstream,
         ).select("id_a", "id_b")
         return verified if certain is None else certain.unionByName(verified)
 
@@ -265,6 +272,7 @@ def dedup_files(
     survivors = ck.stage(
         "survivors",
         lambda: dissect_clusters(surv_input, cfg.dissection, **surv_kwargs),
+        reload_metrics=("dissect",),
     )
     # O13 survivor semi-join + first-wins: one surviving FILE per
     # surviving content, deterministic by (repo, path, commit). The

@@ -108,6 +108,33 @@ def test_big_byte_cluster_falls_back_to_canonical(spark):
     assert m.as_dict()["dissect.fallback_clusters"] == 1
 
 
+def test_byte_oversized_singleton_emitted_once(spark):
+    """A single-member cluster whose cmp bytes exceed max_cluster_bytes
+    must appear exactly once in the survivors (ADVICE r4: it used to
+    match BOTH the singles branch and the oversized branch, so the
+    final union emitted its survivor row twice) and must not count as a
+    fallback (a singleton needs no dissection kernel)."""
+    from fastqdedup_spark.checkpoint import MetricsCollector
+    from fastqdedup_spark.operators.dissect import dissect_clusters
+    from fastqdedup_spark.oracle import jaccard_within
+
+    fat = "x y z " * 2000  # ~12 kB — over the 10 kB byte bound below
+    rows = [("c1", "solo", 3, fat)]
+    rows += [("c2", "a1", 2, "alpha beta gamma"), ("c2", "a2", 1, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "cluster_id string, key string, cnt long, cmp string")
+    m = MetricsCollector()
+    out = dissect_clusters(
+        df, "directional", max_cluster_size=100, max_cluster_bytes=10_000,
+        within=jaccard_within(0.6, 5), metrics=m,
+    ).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r.cluster_id, []).append(r.key)
+    assert got["c1"] == ["solo"]      # exactly ONE row, not two
+    assert got["c2"] == ["a1"]
+    assert m.as_dict()["dissect.fallback_clusters"] == 0
+
+
 def test_dissect_metrics_mode_adds_zero_jobs(spark):
     """The fallback counter rides the sizes aggregation via
     Dataset.observe: metrics mode must schedule NO extra Spark job
