@@ -421,6 +421,54 @@ def q20_media_features(spark, sf):
     ).orderBy("media_id")
 
 
+def q21_video_features(spark, sf):
+    """Multimodal video decode end-to-end: a deterministic media table
+    (uncompressed YUV4MPEG2 / PNG-magic / WAV-magic payloads, no
+    external data) through extract_video_features — stdlib y4m codec
+    (pyav when installed), per-sampled-frame grayscale histograms over
+    the frame_sample_plan grid, mime sniff.
+
+    The oracle is CLOSED-FORM, like q20's: every video is 3 constant-
+    luma frames [a, a, b] at 10 fps (duration 300 ms; every_ms=100
+    samples exactly frames 0,1,2), so the mean histogram puts 2/3 at
+    bin a//16 and 1/3 at bin b//16 (b = a+80 mod 256 differs from a by
+    5 bins mod 16, never colliding) -> top_band = a//16 is arithmetic;
+    last_band = b//16 pins per-frame ORDER (a decode that returns
+    frames out of order or samples only frame 0 breaks it); y4m byte
+    counts follow from the format (37 B header + 3 x (6 + 16*16*1.5))."""
+    from fastqdedup_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_features,
+        synth_y4m,
+    )
+
+    rows = []
+    for i in range(48):
+        kind = ["video", "image", "audio"][i % 3]
+        if kind == "video":
+            a = (16 + 5 * i) % 256
+            payload = synth_y4m([a, a, (a + 80) % 256])
+        elif kind == "image":
+            payload = b"\x89PNG" + bytes([i % 256]) * 64
+        else:
+            payload = b"RIFF" + bytes([i % 256]) * 64
+        rows.append((i, kind, bytearray(payload), "", 16, 16, 300))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_video_features(media, dim=16, every_ms=100)
+    argmax = lambda col: (
+        F.expr(f"array_position({col}, array_max({col}))") - F.lit(1)
+    ).cast("int")
+    return out.select(
+        "media_id",
+        "kind",
+        "mime",
+        "n_bytes",
+        "n_frames",
+        argmax("features").alias("top_band"),
+        argmax("element_at(frame_feats, -1)").alias("last_band"),
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -443,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_doc_fingerprint": q18_doc_fingerprint,
         "q19_embedding_near_dup": q19_embedding_near_dup,
         "q20_media_features": q20_media_features,
+        "q21_video_features": q21_video_features,
     }
 
 
@@ -759,6 +808,28 @@ def oracle_sql() -> dict[str, str]:
                 -- (<= 320) land in the // 63 region
                 CASE WHEN i % 3 = 0 THEN ((200 + 24 * i) // 4) // 63
                     END AS top_band
+            FROM range(48) t(i)
+            ORDER BY media_id
+        """,
+        # q21: closed-form like q20 — constant-luma y4m frames make the
+        # histogram argmax arithmetic (a//16 for the 2/3-weight frame
+        # pair, b//16 for the last frame); byte counts follow from the
+        # y4m format (37 B header + 3 frames x (6 B marker + 384 B
+        # planes)). A decode, sampling-order, or sniff bug breaks it.
+        "q21_video_features": """
+            SELECT
+                i AS media_id,
+                CASE i % 3 WHEN 0 THEN 'video' WHEN 1 THEN 'image'
+                    ELSE 'audio' END AS kind,
+                CASE i % 3 WHEN 0 THEN 'video/x-yuv4mpeg'
+                    WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+                CASE i % 3 WHEN 0 THEN 1207 ELSE 68 END AS n_bytes,
+                CASE WHEN i % 3 = 0 THEN 3 END AS n_frames,
+                CASE WHEN i % 3 = 0
+                    THEN ((16 + 5 * i) % 256) // 16 END AS top_band,
+                CASE WHEN i % 3 = 0
+                    THEN (((16 + 5 * i) % 256 + 80) % 256) // 16
+                    END AS last_band
             FROM range(48) t(i)
             ORDER BY media_id
         """,

@@ -53,6 +53,18 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="accept sketch-certain candidate pairs without exact "
                         "verification (~4e-5 per-pair false-accept, amplified "
                         "transitively by clustering; off = verify every edge)")
+    p.add_argument("--est-transport", default="carry", choices=["probe", "carry"],
+                   help="how candidate pairs meet their est sketches: probe "
+                        "per-id sketch tables, or carry sig_packed through "
+                        "the band shuffle (zero per-pair hash probes)")
+    p.add_argument("--est-broadcast", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="broadcast sketch/size metadata tables into the "
+                        "candidate/verify joins; auto resolves from the "
+                        "resumed distinct-contents count (off past 50M)")
+    p.add_argument("--python-stage-partitions", type=int, default=0,
+                   help="Arrow/python stage task count (0 = all cores); set "
+                        "below the core count to avoid py+JVM oversubscription")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--master", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
@@ -160,6 +172,9 @@ def main(argv: list[str] | None = None) -> None:
         max_cluster_bytes=args.max_cluster_bytes,
         strip_boilerplate_frac=args.strip_boilerplate,
         est_autoaccept=args.est_autoaccept,
+        est_transport=args.est_transport,
+        est_broadcast={"auto": None, "on": True, "off": False}[args.est_broadcast],
+        python_stage_partitions=args.python_stage_partitions,
         checkpoint_dir=args.checkpoint_dir,
         # bind checkpoints to THIS input: same knobs + different data
         # must never resume from a previous dataset's stages

@@ -45,13 +45,41 @@ class DedupConfig:
     # any band-size distribution)
     pairs_per_task: int = 2_000_000
     pair_partitions: int = 0        # 0 = defaultParallelism
+    # Arrow/python stage task count (OPH signer mapInPandas, exact-
+    # Jaccard verify): 0 = defaultParallelism. Each concurrent Arrow
+    # task costs a python worker PLUS a JVM serialization thread, so
+    # running cores-many tasks oversubscribes the box ~1.5x (measured:
+    # signer per-doc cost 0.17 -> 0.9 ms at full width). Set below the
+    # core count to trade task slots for unshared cores.
+    python_stage_partitions: int = 0
     # broadcast per-distinct-doc METADATA tables (packed est sketches,
     # shingle sizes) into the candidate/verify joins so the skew flood
     # dies map-side before any shuffle. ~150 B/doc: fine to ~50M distinct
-    # contents per executor heap; flip off beyond that and the same
-    # plans run as shuffled equi-joins. A static knob, not a mid-plan
-    # count(): the decision costs no action and no barrier.
-    est_broadcast: bool = True
+    # contents per executor heap; beyond that the same plans must run as
+    # shuffled equi-joins (a wrong broadcast there is a driver OOM).
+    # None = AUTO (the default): resolved STATICALLY per run — when a
+    # checkpoint resume carries the persisted distinct.contents metric,
+    # broadcast iff it is <= est_broadcast_max_rows; with no known count
+    # it broadcasts (the safe small/medium default). Never a mid-plan
+    # count(): the decision costs no action and no barrier. True/False
+    # pin the plan explicitly.
+    est_broadcast: bool | None = None
+    est_broadcast_max_rows: int = 50_000_000
+    # How pair candidates meet their est sketches: "carry" (default)
+    # ships sig_packed through the band shuffle as a payload column on
+    # BOTH join sides, so the est filter reads the streamed row — zero
+    # random hash probes per raw pair; "probe" joins the raw pair
+    # stream against per-id sketch tables (broadcast under
+    # est_broadcast, shuffled otherwise). With the 2-bit sketch the
+    # carried payload is 4 longs (~2.3x band-exchange growth, 166 ->
+    # 375 MB at 192k files — sequential, compressed), vs 9x for the old
+    # byte sketch that made probe win. Measured A/B (interleaved
+    # best-of-2, scripts/pair_probe.py): pair-stage cpuT 61.7 -> 23.4
+    # core-s at 8c and 223.2 -> 46.4 at 32c — the probe variant's two
+    # random lookups per raw pair were the stage's dominant cost and
+    # its 3.6x width inflation; carry also removes the broadcast
+    # ceiling from candidate generation entirely.
+    est_transport: str = "carry"
     # OPT-IN speed knob: accept candidate pairs whose estimated Jaccard
     # clears threshold + est_margin WITHOUT exact re-verification (the
     # borderline band [thr - margin, thr + margin) still verifies
@@ -83,6 +111,19 @@ class DedupConfig:
     def rows_per_band(self) -> int:
         assert self.num_perm % self.bands == 0, "num_perm must divide into bands"
         return self.num_perm // self.bands
+
+    def resolved_est_broadcast(self, known_distinct: float | None = None) -> bool:
+        """Static resolution of the est_broadcast AUTO mode: an explicit
+        True/False wins; otherwise broadcast iff the distinct-contents
+        count — when one is KNOWN without running a job (a resumed
+        checkpoint's persisted metric) — fits est_broadcast_max_rows.
+        Unknown count -> broadcast (small/medium corpora default)."""
+        if self.est_broadcast is not None:
+            return self.est_broadcast
+        return (
+            known_distinct is None
+            or known_distinct <= self.est_broadcast_max_rows
+        )
 
     def config_hash(self) -> str:
         """Stable hash identifying checkpoint compatibility (north_rule:

@@ -207,8 +207,12 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         + ", n_shingles int, band_hash array<bigint>, sig_packed array<bigint>"
     k, num_perm, bands, seed = cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.seed
     # CPU-bound Python stage: AQE coalesces by BYTES and would starve it
-    # down to a few cores — fan back out to the full parallelism first.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # down to a few cores — fan back out to the full parallelism first
+    # (or the explicit python-stage cap, see DedupConfig).
+    df = df.repartition(
+        cfg.python_stage_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
 
     def gen(it):
         for pdf in it:

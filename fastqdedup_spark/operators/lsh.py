@@ -41,6 +41,7 @@ from fastqdedup_spark.config import DedupConfig
 def _pairs_from_bands(
     bands: DataFrame, id_col: str, cfg: DedupConfig, prefilter=None,
     cap: int | None = None, extra_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(id, band_hash) -> distinct (id_a, id_b) with id_a < id_b, plus a
     one-row metrics DataFrame. The generic tail of all three schemes.
@@ -54,7 +55,12 @@ def _pairs_from_bands(
     256 possible values, so realistic corpora saturate every band.
     Exact schemes salt oversized bands instead of dropping them; only
     the probabilistic MinHash scheme passes cfg.band_freq_cap (a member
-    of a capped band still pairs through its other b-1 bands there)."""
+    of a capped band still pairs through its other b-1 bands there).
+
+    `payload_cols` names columns of `bands` to carry through the band
+    shuffle onto both join sides (as `<col>_a` / `<col>_b`), so a
+    prefilter can read them straight off the streamed join output
+    (cfg.est_transport == "carry")."""
     sizes = bands.groupBy("band_hash").agg(F.count(F.lit(1)).alias("band_size"))
     capped_expr = (
         F.sum(F.when(F.col("band_size") > cap, 1).otherwise(0))
@@ -103,8 +109,12 @@ def _pairs_from_bands(
         F.lit(4096),
     ).cast("int")
     kept = kept.withColumn("_s", s_expr)
+    pay = payload_cols or []
     left = (
-        kept.select("band_hash", "_s", F.col(id_col).alias("id_a"))
+        kept.select(
+            "band_hash", "_s", F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in pay],
+        )
         .withColumn("_v", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
         .repartition(npart, "band_hash", "_v")
     )
@@ -112,11 +122,23 @@ def _pairs_from_bands(
         "band_hash",
         F.col(id_col).alias("id_b"),
         F.pmod(F.xxhash64(id_col), F.col("_s")).alias("_v"),
+        *[F.col(c).alias(f"{c}_b") for c in pay],
     ).repartition(npart, "band_hash", "_v")
+    # Pin the co-located SHUFFLED HASH join (both sides are already
+    # repartitioned on the join key). Without the hint, AQE converts
+    # this to a broadcast join whenever the sampled corpus fits the
+    # threshold — a small-scale artifact: the band table is
+    # corpus-scaled, so it can never broadcast at 100 TB; the pinned
+    # plan is the scale-invariant one. Measured on-box (192k files,
+    # interleaved best-of, scripts/pair_probe.py): pair-stage cpuT is
+    # a wash vs the broadcast plan at both widths (8c 59.0 vs 64.2
+    # core-s, 32c 236.1 vs 233.7) — the stage's cost lives in the
+    # per-raw-pair est probes/eval, not in which join transport feeds
+    # them (BASELINE.md round-5 pair-probe note).
     raw = (
-        left.join(right, ["band_hash", "_v"])
+        left.join(right.hint("shuffle_hash"), ["band_hash", "_v"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", *[f"{c}_a" for c in pay], *[f"{c}_b" for c in pay])
     )
     if prefilter is not None:
         raw = prefilter(raw)
@@ -138,23 +160,30 @@ def minhash_candidate_pairs(
     before it ever hits an exchange. Callers should then pass
     skip_est=True to the verify stage.
 
-    Measured design note (192k files, 60M raw pairs): probing the
-    broadcast sketch map costs about the same as carrying the 128-byte
-    sketch through the band shuffle as a payload column at 32 cores and
-    beats it at 8 (the payload fattens every shuffled band row 9x);
-    probe it is, with cfg.est_broadcast=False falling back to shuffled
-    joins past the broadcast ceiling.
+    Measured design note (192k files, ~60M raw pairs): with the OLD
+    128-byte sketch, probing the broadcast sketch map beat carrying it
+    through the band shuffle (9x row fattening). The 2-bit sketch
+    flipped the verdict — 4 longs fatten band rows only ~2.3x, and the
+    probe variant pays TWO random hash lookups per raw pair, which are
+    the stage's dominant cost (cpuT 61.7 vs 23.4 core-s at 8 cores,
+    223.2 vs 46.4 at 32). cfg.est_transport="carry" is the default;
+    "probe" remains for payload-heavy sketch configs.
 
     `keep_est=True` carries the matching-bin count through as an
     `est_matches` column (deterministic per pair, so the distinct is
     unaffected) — the pipeline uses it to split candidates into
     est-certain accepts and a borderline band that alone needs the
     exact (Python) verify."""
-    bands = signed.select(
-        F.col(id_col), F.explode("band_hash").alias("band_hash")
-    )
+    carry = cfg.est_transport == "carry"
+    band_cols = [F.col(id_col), F.explode("band_hash").alias("band_hash")]
+    if carry and "sig_packed" in signed.columns:
+        band_cols.append(F.col("sig_packed"))
+    bands = signed.select(*band_cols)
     if "sig_packed" in signed.columns and cfg.est_margin > 0:
-        from fastqdedup_spark.operators.verify import est_prefilter
+        from fastqdedup_spark.operators.verify import (
+            est_filter_carried,
+            est_prefilter,
+        )
 
         sigs = signed.select(id_col, "sig_packed")
         # est_matches is ALWAYS carried through the pair distinct (it is
@@ -166,13 +195,18 @@ def minhash_candidate_pairs(
         # collapse the expression into a Filter/join-condition blob that
         # HotSpot refuses to JIT (see est_prefilter) — measured 15x
         # slower on the corpus pair stage.
+        if carry:
+            prefilter = lambda raw: est_filter_carried(raw, cfg, keep_est=True)
+        else:
+            prefilter = lambda raw: est_prefilter(
+                raw, sigs, cfg, id_col, keep_est=True
+            )
         pairs, metrics = _pairs_from_bands(
             bands, id_col, cfg,
-            prefilter=lambda raw: est_prefilter(
-                raw, sigs, cfg, id_col, keep_est=True
-            ),
+            prefilter=prefilter,
             cap=cfg.band_freq_cap,
             extra_cols=["est_matches"],
+            payload_cols=["sig_packed"] if carry else None,
         )
         if not keep_est:
             pairs = pairs.drop("est_matches")

@@ -10,8 +10,11 @@ optional-dependency:
 - audio: soundfile when installed, else the stdlib `wave` module for
   canonical PCM WAV (always available — audio decode is never
   env-blocked), via extract_audio_features;
-- video: honestly absent (no codec in this container); the
-  frame-sampling PLAN (fan-out shape, partitioning) is real.
+- video: pyav when installed (any container format), else a stdlib
+  parser for uncompressed YUV4MPEG2 (.y4m — the raw interchange format
+  codec tooling uses), so raw-video decode is never env-blocked, via
+  extract_video_features; compressed containers without pyav decode to
+  null features, counted not raised.
 
 The deterministic-fake encoder (decode=False) derives features from
 payload bytes, so downstream dedup/similarity over media features is
@@ -34,6 +37,7 @@ _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"RIFF": "audio/wav",
+    b"YUV4MPEG2": "video/x-yuv4mpeg",
     b"\x00\x00\x00": "video/mp4",
 }
 
@@ -231,6 +235,181 @@ def synth_wav(
         w.setframerate(rate)
         w.writeframes(x.tobytes())
     return buf.getvalue()
+
+
+def _parse_y4m(payload: bytes):
+    """Stdlib parser for uncompressed YUV4MPEG2: header line
+    `YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<sub>\\n` then per frame a
+    `FRAME...\\n` marker + raw planes (Y then U,V for 4:2:0/4:4:4; Y
+    only for mono). Returns (list of HxW uint8 luma planes, fps) or
+    None when the payload is not well-formed y4m."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        nl = payload.index(b"\n")
+    except ValueError:
+        return None
+    w = h = 0
+    num, den = 25, 1
+    sub = "420"
+    for tok in payload[9:nl].decode("ascii", "replace").split():
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            a, b = tok[1:].split(":")
+            num, den = int(a), int(b)
+        elif tok[0] == "C":
+            sub = tok[1:]
+    if w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        return None
+    luma = w * h
+    if sub.startswith("420"):
+        frame_size = luma + 2 * ((w // 2) * (h // 2))
+    elif sub.startswith("422"):
+        frame_size = luma + 2 * ((w // 2) * h)
+    elif sub.startswith("444"):
+        frame_size = 3 * luma
+    elif sub.startswith("mono"):
+        frame_size = luma
+    else:
+        return None
+    frames: list = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            return None
+        try:
+            fnl = payload.index(b"\n", pos)
+        except ValueError:
+            return None
+        pos = fnl + 1
+        if pos + frame_size > len(payload):
+            return None
+        frames.append(
+            np.frombuffer(payload[pos : pos + luma], dtype=np.uint8).reshape(h, w)
+        )
+        pos += frame_size
+    if not frames:
+        return None
+    return frames, num / den
+
+
+def decode_video_frames(payload: bytes):
+    """Video codec with the audio path's optional-dependency shape:
+    pyav when installed (any container format; per-frame grayscale via
+    the decoder's luma), else the stdlib YUV4MPEG2 parser above
+    (uncompressed raw video — always decodable, so the video path is
+    never env-blocked the way compressed containers are without pyav).
+    Returns (list of HxW uint8 grayscale frames, fps) or None."""
+    import io
+
+    try:
+        import av  # pyav — absent in this container, real path elsewhere
+
+        try:
+            with av.open(io.BytesIO(payload)) as container:
+                vstream = next(
+                    s for s in container.streams if s.type == "video"
+                )
+                rate = float(vstream.average_rate or 25)
+                frames = [
+                    f.to_ndarray(format="gray") for f in container.decode(vstream)
+                ]
+            return (frames, rate) if frames else None
+        except Exception:
+            return None
+    except ImportError:
+        pass
+    return _parse_y4m(payload)
+
+
+def extract_video_features(
+    df: DataFrame, dim: int = 16, every_ms: int = 1000, decode: bool = True,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video analog of extract_audio_features: (.., payload) ->
+    (.., mime, n_bytes, n_frames, frame_feats, features).
+
+    Frames are sampled on the frame_sample_plan grid (ts = 0, every_ms,
+    2*every_ms, ... < decoded duration; each ts maps to the frame at or
+    before it); each sampled frame yields an L1-normalized `dim`-bin
+    grayscale-intensity histogram (`frame_feats`, one per sampled
+    frame, order = timestamp order) and `features` is their mean (also
+    L1-normalized — the video-level embedding downstream dedup uses).
+    Undecodable payloads (non-video, compressed container without
+    pyav, corrupt) get null features, never an exception: at corpus
+    scale a bad payload must cost one null row, not a stage retry
+    storm. decode=False uses the deterministic-fake encoder."""
+    for clash in ("mime", "n_bytes", "n_frames", "frame_feats", "features"):
+        if clash in df.columns:
+            df = df.drop(clash)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + (
+        ", mime string, n_bytes long, n_frames int,"
+        " frame_feats array<array<float>>, features array<float>"
+    )
+
+    def _one(payload) -> tuple:
+        decoded = decode_video_frames(bytes(payload)) if payload is not None else None
+        if decoded is None:
+            return None, None
+        frames, fps = decoded
+        duration_ms = int(len(frames) / fps * 1000)
+        feats = []
+        for ts in range(0, max(duration_ms, 1), every_ms):
+            idx = min(int(ts / 1000 * fps), len(frames) - 1)
+            hist, _ = np.histogram(
+                frames[idx].ravel(), bins=dim, range=(0, 256)
+            )
+            feats.append((hist / max(hist.sum(), 1)).astype(np.float32))
+        return feats, np.mean(feats, axis=0).astype(np.float32)
+
+    def gen(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            payloads = pdf[payload_col]
+            pdf["mime"] = [
+                sniff_mime(bytes(p) if p is not None else b"") for p in payloads
+            ]
+            pdf["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]
+            if decode:
+                per_frame, means = [], []
+                for p in payloads:
+                    ff, mean = _one(p)
+                    per_frame.append(ff)
+                    means.append(mean)
+                pdf["n_frames"] = [
+                    len(ff) if ff is not None else None for ff in per_frame
+                ]
+                pdf["frame_feats"] = per_frame
+                pdf["features"] = means
+            else:
+                pdf["n_frames"] = [None] * len(pdf)
+                pdf["frame_feats"] = [None] * len(pdf)
+                pdf["features"] = _fake_features(payloads, dim)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def synth_y4m(
+    lumas: list, w: int = 16, h: int = 16, fps: int = 10
+) -> bytes:
+    """Deterministic valid YUV4MPEG2 payload (4:2:0, one constant-luma
+    frame per entry of `lumas`) for tests — no external data, decodable
+    by both pyav and the stdlib parser. Byte count is closed-form:
+    len(header) + n_frames * (6 + w*h*3/2)."""
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = bytes([128]) * (2 * (w // 2) * (h // 2))
+    out = [header]
+    for y in lumas:
+        out.append(b"FRAME\n")
+        out.append(bytes([int(y) & 0xFF]) * (w * h))
+        out.append(chroma)
+    return b"".join(out)
 
 
 def frame_sample_plan(

@@ -226,7 +226,7 @@ def est_prefilter(
     never hits an exchange. The knob is static configuration, not a
     mid-plan count() (no action, no barrier); beyond ~50M distinct
     contents flip it off and the joins run shuffled."""
-    hint = F.broadcast if cfg.est_broadcast else (lambda df: df)
+    hint = F.broadcast if cfg.resolved_est_broadcast() else (lambda df: df)
     ga = sigs.select(F.col(id_col).alias("id_a"), F.col("sig_packed").alias("sig_a"))
     gb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig_packed").alias("sig_b"))
     min_matches = est_min_matches(cfg, cfg.jaccard_threshold - cfg.est_margin)
@@ -246,6 +246,25 @@ def est_prefilter(
         .withColumn("est_matches", est_jaccard_matches(cfg))
         .filter((F.col("est_matches") + nondet_zero) >= min_matches)
     )
+    cols = ["id_a", "id_b"] + (["est_matches"] if keep_est else [])
+    return out.select(*cols)
+
+
+def est_filter_carried(
+    raw: DataFrame, cfg: DedupConfig, keep_est: bool = False,
+) -> DataFrame:
+    """est prefilter for cfg.est_transport == "carry": `raw` already
+    carries `sig_packed_a`/`sig_packed_b` as band-join payload columns,
+    so the filter is a pure streamed-row expression — zero hash probes
+    per raw pair (the probe variant pays two random lookups into the
+    sketch relations for every one of the ~60M raw pairs). Same
+    threshold math and the same non-deterministic pushdown pin as
+    est_prefilter."""
+    min_matches = est_min_matches(cfg, cfg.jaccard_threshold - cfg.est_margin)
+    nondet_zero = (F.rand(cfg.seed) * F.lit(0.0)).cast("int")
+    out = raw.withColumn(
+        "est_matches", est_jaccard_matches(cfg, "sig_packed_a", "sig_packed_b")
+    ).filter((F.col("est_matches") + nondet_zero) >= min_matches)
     cols = ["id_a", "id_b"] + (["est_matches"] if keep_est else [])
     return out.select(*cols)
 
@@ -276,7 +295,7 @@ def verify_pairs_jaccard(
     # budget at real scale and building the broadcast is driver-serial;
     # its join stays a shuffled equi-join on id (the scan-shaped plan
     # that survives 100x data).
-    hint = F.broadcast if cfg.est_broadcast else (lambda df: df)
+    hint = F.broadcast if cfg.resolved_est_broadcast() else (lambda df: df)
     est_ran = skip_est  # upstream candidate generation already filtered
     if not skip_est and "sig_packed" in contents.columns and cfg.est_margin > 0:
         pairs = est_prefilter(
@@ -332,7 +351,8 @@ def verify_pairs_jaccard(
     # while 8 cores improved — skew costs the most exactly where
     # parallelism is widest.
     withv = withv.repartition(
-        withv.sparkSession.sparkContext.defaultParallelism,
+        cfg.python_stage_partitions
+        or withv.sparkSession.sparkContext.defaultParallelism,
         "id_a",
         F.pmod(F.xxhash64("id_b"), F.lit(4)),
     )

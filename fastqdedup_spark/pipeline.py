@@ -23,7 +23,7 @@ Stage graph (code mode), every arrow a Catalyst-planned exchange:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -144,7 +144,22 @@ def dedup_files(
             F.first("content").alias("content"),  # identical per sha
             F.min(F.struct("repo", "path", "commit")).alias("rep"),
         ),
+        # distinct.contents (persisted by a metrics-mode run) rides this
+        # stage's resume: it feeds the est_broadcast auto-gate below
+        reload_metrics=("distinct",),
     )
+    # AUTO est_broadcast resolution (static per run, no mid-plan count):
+    # a resumed checkpoint knows the distinct-contents count from the
+    # previous run's persisted metrics; past est_broadcast_max_rows the
+    # sketch/size joins must run shuffled (a forced broadcast there is a
+    # driver OOM at >50M distinct contents). cfg itself stays untouched
+    # — config_hash (and so checkpoint keys) is computed from the
+    # user-provided config, not the resolved plan choice.
+    eff_broadcast = cfg.resolved_est_broadcast(
+        ck.metrics.as_dict().get("distinct.contents")
+    )
+    ck.metrics.add("est", "broadcast", float(eff_broadcast))
+    cfg_run = replace(cfg, est_broadcast=eff_broadcast)
     def _build_signatures() -> DataFrame:
         base = distinct
         sig_source = "content"
@@ -180,7 +195,7 @@ def dedup_files(
     # (the nid->sha fan-out join would attach verified edges to both
     # shas and falsely merge unrelated clusters).
     pairs_lazy, band_metrics = minhash_candidate_pairs(
-        signed, cfg, id_col="nid", keep_est=cfg.est_autoaccept
+        signed, cfg_run, id_col="nid", keep_est=cfg.est_autoaccept
     )
     # minhash_candidate_pairs runs the est prefilter only when a packed
     # sketch exists AND est_margin > 0 — mirror that exact condition
@@ -219,7 +234,7 @@ def dedup_files(
         verified = verify_pairs_jaccard(
             cand.select("id_a", "id_b"),
             signed.select("nid", "content_norm", "n_shingles", "sig_packed"),
-            cfg,
+            cfg_run,
             id_col="nid",
             skip_est=est_ran_upstream,
         ).select("id_a", "id_b")

@@ -26,7 +26,10 @@ def main():
 
     spark = get_spark_ui(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
+    cfg = DedupConfig(
+        shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
+        est_transport=os.environ.get("FASTQDEDUP_EST_TRANSPORT", "probe"),
+    )
     files = generate_files(spark, n_files, seed=42).localCheckpoint(eager=True)
     base = with_sha256(files)
     distinct = (

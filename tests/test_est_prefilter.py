@@ -91,3 +91,43 @@ def test_prefilter_keeps_true_pairs_drops_background(spark):
     }
     assert set(true_pairs) <= kept
     assert not (set(bg_pairs) & kept)
+
+
+def test_est_broadcast_auto_resolution():
+    """AUTO (None) broadcasts only while the known distinct count fits
+    est_broadcast_max_rows; unknown count broadcasts; an explicit
+    True/False always wins (VERDICT r4 #7)."""
+    auto = DedupConfig()
+    assert auto.est_broadcast is None
+    assert auto.resolved_est_broadcast() is True                  # unknown
+    assert auto.resolved_est_broadcast(1_000_000) is True
+    assert auto.resolved_est_broadcast(60_000_000) is False       # > 50M
+    pinned_on = DedupConfig(est_broadcast=True)
+    assert pinned_on.resolved_est_broadcast(60_000_000) is True
+    pinned_off = DedupConfig(est_broadcast=False)
+    assert pinned_off.resolved_est_broadcast(10) is False
+
+
+def test_est_broadcast_off_plans_shuffled_joins(spark):
+    """est_broadcast=False must remove every BroadcastExchange from the
+    prefilter plan (the >50M-distinct-contents shape: sketch joins run
+    as shuffled equi-joins instead of a driver-OOM broadcast)."""
+    rows = [(i, [0, 0, 0, 0]) for i in range(8)]
+    sigs = spark.createDataFrame(rows, "id long, sig_packed array<bigint>")
+    pairs = spark.createDataFrame(
+        [(a, a + 1) for a in range(7)], "id_a long, id_b long"
+    )
+    # disable the size-based auto-broadcast so the plan shows only the
+    # EXPLICIT hint decision (tiny test tables would otherwise
+    # broadcast either way; at >50M rows the statistics do this)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        on = est_prefilter(pairs, sigs, DedupConfig(est_broadcast=True), "id")
+        off = est_prefilter(pairs, sigs, DedupConfig(est_broadcast=False), "id")
+        on_plan = on._jdf.queryExecution().executedPlan().toString()
+        off_plan = off._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" in on_plan
+    assert "BroadcastExchange" not in off_plan

@@ -105,3 +105,45 @@ def test_resume_idempotent(spark, corpus, tmp_path_factory):
     out2 = sorted(r.sha for r in r2.deduped.select("sha").collect())
     assert out1 == out2
     assert any(k.endswith("resumed") for k in r2.metrics)
+
+
+def test_est_broadcast_autogate_flips_on_resumed_count(spark, corpus, tmp_path_factory):
+    """The est_broadcast AUTO gate (VERDICT r4 #7): a resume whose
+    persisted distinct.contents metric exceeds est_broadcast_max_rows
+    must plan the sketch joins SHUFFLED (est.broadcast metric 0) and
+    still produce identical output; the original run broadcast."""
+    import os
+    import shutil
+
+    ckdir = str(tmp_path_factory.mktemp("ck_auto"))
+    cfg = DedupConfig(
+        shingle_k=7, num_perm=64, bands=16, jaccard_threshold=0.6,
+        checkpoint_dir=ckdir,
+    )
+    small = corpus.limit(120).cache()
+    r1 = dedup_files(spark, small, cfg)
+    assert r1.metrics["est.broadcast"] == 1.0      # unknown count -> broadcast
+    out1 = sorted(r.sha for r in r1.deduped.select("sha").collect())
+
+    # doctor the persisted metric to a >50M synthetic distinct count and
+    # drop everything downstream of signatures so the pair plan rebuilds
+    base = os.path.join(ckdir, cfg.config_hash())
+    mpath = os.path.join(base, "_metrics")
+    mrows = [
+        (r.stage, r.metric,
+         9e9 if (r.stage, r.metric) == ("distinct", "contents") else r.value)
+        for r in spark.read.parquet(mpath).collect()
+    ]
+    doctored = spark.createDataFrame(mrows, "stage string, metric string, value double")
+    tmp_m = mpath + "_tmp"
+    doctored.coalesce(1).write.mode("overwrite").parquet(tmp_m)
+    shutil.rmtree(mpath)
+    os.rename(tmp_m, mpath)
+    for stage in os.listdir(base):
+        if stage not in ("distinct_contents", "signatures", "_metrics"):
+            shutil.rmtree(os.path.join(base, stage))
+
+    r2 = dedup_files(spark, small, cfg)
+    assert r2.metrics["est.broadcast"] == 0.0      # gate flipped to shuffled
+    out2 = sorted(r.sha for r in r2.deduped.select("sha").collect())
+    assert out1 == out2                            # plan choice, not semantics
