@@ -80,6 +80,12 @@ class DedupConfig:
     # its 3.6x width inflation; carry also removes the broadcast
     # ceiling from candidate generation entirely.
     est_transport: str = "carry"
+    # physical form of the band self-join: "shuffle_hash" pins the
+    # co-located shuffled hash join (scale-invariant — the corpus-sized
+    # band table can never broadcast at 100 TB); "" lets AQE pick
+    # (broadcast at small scale). Measured per-scheme in BASELINE.md
+    # round 5.
+    band_join_hint: str = "shuffle_hash"
     # OPT-IN speed knob: accept candidate pairs whose estimated Jaccard
     # clears threshold + est_margin WITHOUT exact re-verification (the
     # borderline band [thr - margin, thr + margin) still verifies

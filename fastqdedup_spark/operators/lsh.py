@@ -135,8 +135,9 @@ def _pairs_from_bands(
     # core-s, 32c 236.1 vs 233.7) — the stage's cost lives in the
     # per-raw-pair est probes/eval, not in which join transport feeds
     # them (BASELINE.md round-5 pair-probe note).
+    rhs = right.hint(cfg.band_join_hint) if cfg.band_join_hint else right
     raw = (
-        left.join(right.hint("shuffle_hash"), ["band_hash", "_v"])
+        left.join(rhs, ["band_hash", "_v"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", *[f"{c}_a" for c in pay], *[f"{c}_b" for c in pay])
     )

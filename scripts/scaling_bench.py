@@ -34,7 +34,14 @@ def child(cores: int, n_files: int) -> None:
     files.count()
     # warm python workers so worker spin-up isn't measured as scaling loss
     spark.range(cores * 10).repartition(cores).mapInPandas(lambda it: it, "id long").count()
-    cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
+    cfg = DedupConfig(
+        shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
+        # cap Arrow/python tasks at half the cores: each task is a
+        # python worker PLUS a JVM serialization thread, so cores-many
+        # tasks oversubscribe ~1.5x (measured, scripts/arrow_stage_probe
+        # r5: signer wall 23.4 -> 15.2 s at 32c with cap 16)
+        python_stage_partitions=max(2, cores // 2),
+    )
     best = None
     # NOISY NEIGHBORS (BASELINE.md): identical configs vary up to 2x
     # run-to-run; contention only ever slows a run, so best-of-N is the

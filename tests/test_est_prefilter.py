@@ -131,3 +131,39 @@ def test_est_broadcast_off_plans_shuffled_joins(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastExchange" in on_plan
     assert "BroadcastExchange" not in off_plan
+
+
+def test_carry_transport_matches_probe(spark):
+    """est_transport="carry" (sketch rides the band shuffle) must yield
+    the IDENTICAL candidate pair set and est_matches values as "probe"
+    (sketch joined per id) — transport is a physical choice only."""
+    from fastqdedup_spark.corpus import generate_files
+    from fastqdedup_spark.functions.minhash import (
+        add_signature_columns,
+        normalize_content,
+    )
+    from fastqdedup_spark.operators.exact_dedup import with_sha256
+    from fastqdedup_spark.operators.lsh import minhash_candidate_pairs
+
+    files = generate_files(spark, 800, seed=11)
+    distinct = (
+        with_sha256(files)
+        .groupBy("sha")
+        .agg(F.first("content").alias("content"))
+        .withColumn("content_norm", normalize_content("content"))
+        .select("sha", "content_norm")
+    )
+    base = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
+    signed = add_signature_columns(distinct, base).localCheckpoint(eager=True)
+    got = {}
+    for mode in ("probe", "carry"):
+        cfg = DedupConfig(
+            shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
+            est_transport=mode,
+        )
+        pairs, _ = minhash_candidate_pairs(signed, cfg, id_col="sha", keep_est=True)
+        got[mode] = sorted(
+            (r.id_a, r.id_b, r.est_matches) for r in pairs.collect()
+        )
+    assert len(got["probe"]) > 0
+    assert got["probe"] == got["carry"]
