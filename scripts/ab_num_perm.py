@@ -46,21 +46,27 @@ def main():
         "np128": DedupConfig(
             shingle_k=7, num_perm=128, bands=32,
             jaccard_threshold=0.6, est_margin=0.2,
+            python_stage_partitions=16,
         ),
         "np256": DedupConfig(
             shingle_k=7, num_perm=256, bands=64,
             jaccard_threshold=0.6, est_margin=0.141,
+            python_stage_partitions=16,
         ),
     }
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).agg(F.sum("id")).collect()
+    # full warm-up so neither arm pays the cold-JVM ~2.5x on its first rep
+    run_arm(spark, n_files, arms["np128"])
     results: dict = {k: [] for k in arms}
+    order = list(arms)
     for _ in range(reps):
-        for name, cfg in arms.items():
-            r = run_arm(spark, n_files, cfg)
+        for name in order:
+            r = run_arm(spark, n_files, arms[name])
             results[name].append(r)
             print(json.dumps({"arm": name, **r}), flush=True)
+        order.reverse()  # palindromic across load waves
     summary = {
         name: {"best_wall": min(r["wall"] for r in runs),
                "rows": runs[0]["rows"]}

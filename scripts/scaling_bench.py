@@ -20,7 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def child(cores: int, n_files: int) -> None:
+def child(cores: int, n_files: int, cap: int | None = None) -> None:
     import time
 
     from fastqdedup_spark.config import DedupConfig
@@ -32,35 +32,48 @@ def child(cores: int, n_files: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     files = generate_files(spark, n_files, seed=42).cache()
     files.count()
-    # warm python workers so worker spin-up isn't measured as scaling loss
-    spark.range(cores * 10).repartition(cores).mapInPandas(lambda it: it, "id long").count()
+    if cap is None:
+        # Arrow/python-stage task cap (scripts/cap_ab.py, BASELINE.md
+        # round 5): each Arrow task is a python worker plus a JVM
+        # serialization thread, so cores-many tasks oversubscribe
+        # ~1.4x. cores//2 won best-of at width 32 in both load regimes
+        # (32.4 vs 44.1 quiet-ish, 35.1 vs 43.7 stormy) and at width 8
+        # (56.0 vs 66.7; weaker — reps split 1-1).
+        cap = max(2, cores // 2)
     cfg = DedupConfig(
         shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
-        # cap Arrow/python tasks at half the cores: each task is a
-        # python worker PLUS a JVM serialization thread, so cores-many
-        # tasks oversubscribe ~1.5x (measured, scripts/arrow_stage_probe
-        # r5: signer wall 23.4 -> 15.2 s at 32c with cap 16)
-        python_stage_partitions=max(2, cores // 2),
+        python_stage_partitions=cap,
     )
+    # full warm-up run: the first run in a JVM pays janino compilation,
+    # HotSpot JIT, and python-worker spin-up (~2.5x the steady-state
+    # wall). A 100 TB job amortizes that once across hours, so the
+    # steady-state trials below are the throughput that scales.
+    dedup_files(spark, files, cfg, quality=False, collect_metrics=False).deduped.count()
     best = None
+    best_load = None
     # NOISY NEIGHBORS (BASELINE.md): identical configs vary up to 2x
     # run-to-run; contention only ever slows a run, so best-of-N is the
     # least contaminated estimator
     trials = 2 if n_files > 100_000 else 3
     for _ in range(trials):  # report the better (steady-state) trial
+        # stamp load at LAUNCH: load1m after a wide run is mostly
+        # self-load (a busy 32c job alone drives load1m toward 32)
+        l0 = os.getloadavg()[0]
         t0 = time.monotonic()
         res = dedup_files(spark, files, cfg, quality=False, collect_metrics=False)
         n_out = res.deduped.count()
         dt = time.monotonic() - t0
-        best = min(best, dt) if best else dt
+        if best is None or dt < best:
+            best, best_load = dt, l0
     print(json.dumps({"cores": cores, "n_files": n_files, "sec": round(best, 2),
                       "files_per_sec": round(n_files / best, 1), "files_out": n_out,
-                      "load1m": round(os.getloadavg()[0], 1)}))
+                      "cap": cap, "load1m": round(best_load, 1)}))
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]), int(sys.argv[3]))
+        child(int(sys.argv[2]), int(sys.argv[3]),
+              int(sys.argv[4]) if len(sys.argv) > 4 else None)
         return
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     results = {}

@@ -23,6 +23,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 def run_child(cores: int, n_files: int) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    # stamp BEFORE launching: load1m after a wide child is mostly the
+    # child's own decaying load, not the ambient level it ran under
+    load_at_launch = round(os.getloadavg()[0], 1)
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable,
          os.path.join(HERE, "scaling_bench.py"), "--child", str(cores), str(n_files)],
@@ -30,7 +33,7 @@ def run_child(cores: int, n_files: int) -> dict:
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
-    rec["load_at_launch"] = round(os.getloadavg()[0], 1)
+    rec["load_at_launch"] = load_at_launch
     print(json.dumps(rec), flush=True)
     return rec
 

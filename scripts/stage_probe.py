@@ -49,6 +49,8 @@ def rest(path: str):
 def main():
     cores = int(sys.argv[1])
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 192_000
+    # optional Arrow/python-stage task cap (scaling_bench uses cores//2)
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     from fastqdedup_spark.config import DedupConfig
     from fastqdedup_spark.corpus import generate_files
@@ -61,7 +63,8 @@ def main():
     spark.range(cores * 10).repartition(cores).mapInPandas(
         lambda it: it, "id long"
     ).count()
-    cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
+    cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
+                      python_stage_partitions=cap)
 
     app_id = rest("/applications")[0]["id"]
     before = {s["stageId"] for s in rest(f"/applications/{app_id}/stages")}
