@@ -63,8 +63,9 @@ def argument_parser() -> argparse.ArgumentParser:
                         "candidate/verify joins; auto resolves from the "
                         "resumed distinct-contents count (off past 50M)")
     p.add_argument("--python-stage-partitions", type=int, default=0,
-                   help="Arrow/python stage task count (0 = all cores); set "
-                        "below the core count to avoid py+JVM oversubscription")
+                   help="Arrow/python stage task count (0 = auto: half the "
+                        "task slots — each Arrow task is a python worker plus "
+                        "a JVM serialization thread)")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--master", default=None)
     p.add_argument("-q", "--quiet", action="store_true")

@@ -20,7 +20,15 @@ class DedupConfig:
     # -- similarity model --------------------------------------------------
     shingle_k: int = 7              # char k-gram size over normalized content
     num_perm: int = 128             # MinHash signature length
-    bands: int = 32                 # LSH bands (rows = num_perm // bands)
+    bands: int = 32                 # LSH bands (rows = band_bins // bands)
+    # How many LEADING signature bins fold into band hashes (0 = all
+    # num_perm). Decouples est-sketch precision from banding recall:
+    # num_perm=256 with band_bins=128 keeps the exact np128 banding
+    # structure (32 bands x 4 rows -> identical candidate-recall math)
+    # while the est prefilter reads a 256-bin sketch whose sigma is
+    # 1/sqrt(2) smaller — the borderline band that pays for exact
+    # python verify shrinks at the SAME false-drop probability.
+    band_bins: int = 0
     jaccard_threshold: float = 0.8  # verify-stage exact Jaccard cutoff
     est_margin: float = 0.2         # JVM est-Jaccard prefilter: keep est >= threshold - margin (0 disables)
     # -- reference-parity mode (fixed-length keys, Hamming/edit radius) ----
@@ -46,11 +54,15 @@ class DedupConfig:
     pairs_per_task: int = 2_000_000
     pair_partitions: int = 0        # 0 = defaultParallelism
     # Arrow/python stage task count (OPH signer mapInPandas, exact-
-    # Jaccard verify): 0 = defaultParallelism. Each concurrent Arrow
-    # task costs a python worker PLUS a JVM serialization thread, so
-    # running cores-many tasks oversubscribes the box ~1.5x (measured:
-    # signer per-doc cost 0.17 -> 0.9 ms at full width). Set below the
-    # core count to trade task slots for unshared cores.
+    # Jaccard verify): 0 = AUTO, half of defaultParallelism. Each
+    # concurrent Arrow task costs a python worker PLUS a JVM
+    # serialization thread, so running cores-many tasks oversubscribes
+    # the box ~1.4x (measured: signer per-doc cost 0.17 -> 0.9 ms at
+    # full width). Interleaved A/B of the fused pipeline at 192k files
+    # (scripts/cap_ab.py, BASELINE.md round 5): cores//2 won best-of at
+    # width 32 in both load regimes (32.4 vs 44.1 s quiet-ish, 35.1 vs
+    # 43.7 stormy; cap 24 worse than both) and at width 8 (56.0 vs
+    # 66.7; weaker evidence). Set explicitly to pin a task count.
     python_stage_partitions: int = 0
     # broadcast per-distinct-doc METADATA tables (packed est sketches,
     # shingle sizes) into the candidate/verify joins so the skew flood
@@ -114,9 +126,24 @@ class DedupConfig:
     cc_max_iterations: int = 50
 
     @property
+    def resolved_band_bins(self) -> int:
+        bb = self.band_bins or self.num_perm
+        assert bb <= self.num_perm, "band_bins cannot exceed num_perm"
+        return bb
+
+    @property
     def rows_per_band(self) -> int:
-        assert self.num_perm % self.bands == 0, "num_perm must divide into bands"
-        return self.num_perm // self.bands
+        bb = self.resolved_band_bins
+        assert bb % self.bands == 0, "band_bins must divide into bands"
+        return bb // self.bands
+
+    def python_stage_tasks(self, sc) -> int:
+        """Resolved Arrow/python-stage task count: an explicit value
+        wins; AUTO (0) is half the cluster's task slots (min 2) — each
+        Arrow task is a python worker plus a JVM serialization thread,
+        so slot-many tasks oversubscribe ~1.4x (see
+        python_stage_partitions above for the measured A/B)."""
+        return self.python_stage_partitions or max(2, sc.defaultParallelism // 2)
 
     def resolved_est_broadcast(self, known_distinct: float | None = None) -> bool:
         """Static resolution of the est_broadcast AUTO mode: an explicit

@@ -206,20 +206,18 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema) \
         + ", n_shingles int, band_hash array<bigint>, sig_packed array<bigint>"
     k, num_perm, bands, seed = cfg.shingle_k, cfg.num_perm, cfg.bands, cfg.seed
+    band_bins = cfg.resolved_band_bins  # leading bins folded into bands
     # CPU-bound Python stage: AQE coalesces by BYTES and would starve it
-    # down to a few cores — fan back out to the full parallelism first
-    # (or the explicit python-stage cap, see DedupConfig).
-    df = df.repartition(
-        cfg.python_stage_partitions
-        or df.sparkSession.sparkContext.defaultParallelism
-    )
+    # down to a few cores — fan back out to the python-stage task count
+    # first (half the slots by default, see DedupConfig).
+    df = df.repartition(cfg.python_stage_tasks(df.sparkSession.sparkContext))
 
     def gen(it):
         for pdf in it:
             texts = pdf["content_norm"].fillna("")
             H, starts, counts = shingle_window_hashes(texts, k)
             sig = oph_signatures(H, starts, counts, num_perm, seed).view(np.int64)
-            bh = band_hashes_from_sig(sig, bands, seed)
+            bh = band_hashes_from_sig(sig[:, :band_bins], bands, seed)
             n_unique = np.fromiter(
                 (
                     len(np.unique(H[starts[i] : starts[i] + counts[i]]))

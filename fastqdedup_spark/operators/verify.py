@@ -351,8 +351,7 @@ def verify_pairs_jaccard(
     # while 8 cores improved — skew costs the most exactly where
     # parallelism is widest.
     withv = withv.repartition(
-        cfg.python_stage_partitions
-        or withv.sparkSession.sparkContext.defaultParallelism,
+        cfg.python_stage_tasks(withv.sparkSession.sparkContext),
         "id_a",
         F.pmod(F.xxhash64("id_b"), F.lit(4)),
     )

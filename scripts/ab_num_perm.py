@@ -53,6 +53,17 @@ def main():
             jaccard_threshold=0.6, est_margin=0.141,
             python_stage_partitions=16,
         ),
+        # decoupled: np128's exact banding structure (32 bands x 4
+        # rows over the first 128 bins -> identical candidate-recall
+        # math and band-table size) + a 256-bin est sketch (sigma
+        # 1/sqrt(2) smaller -> borderline band shrinks at the same
+        # false-drop probability). Costs only: 2x OPH binning (minor
+        # vs shingling) and 8-long carried sketch vs 4.
+        "np256_b32": DedupConfig(
+            shingle_k=7, num_perm=256, bands=32, band_bins=128,
+            jaccard_threshold=0.6, est_margin=0.141,
+            python_stage_partitions=16,
+        ),
     }
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")

@@ -167,3 +167,58 @@ def test_carry_transport_matches_probe(spark):
         )
     assert len(got["probe"]) > 0
     assert got["probe"] == got["carry"]
+
+
+def test_decoupled_band_bins_keeps_recall_and_shrinks_margin(spark):
+    """num_perm=256 + band_bins=128 (the np256_b32 design point): the
+    banding structure stays 32 bands x 4 rows -> same candidate-recall
+    math as np128, while the est sketch doubles to 256 bins so the
+    prefilter margin can shrink to 0.141 at the same false-drop
+    probability. The tightened prefilter must still keep every
+    candidate whose TRUE jaccard clears the threshold."""
+    from fastqdedup_spark.corpus import generate_files
+    from fastqdedup_spark.functions.minhash import (
+        add_signature_columns,
+        normalize_content,
+        shingle_set,
+    )
+    from fastqdedup_spark.operators.exact_dedup import with_sha256
+    from fastqdedup_spark.operators.lsh import minhash_candidate_pairs
+
+    cfg = DedupConfig(
+        shingle_k=7, num_perm=256, bands=32, band_bins=128,
+        jaccard_threshold=0.6, est_margin=0.141,
+    )
+    assert cfg.rows_per_band == 4  # np128's structure, not 256/32=8
+    files = generate_files(spark, 800, seed=13)
+    distinct = (
+        with_sha256(files)
+        .groupBy("sha")
+        .agg(F.first("content").alias("content"))
+        .withColumn("content_norm", normalize_content("content"))
+        .select("sha", "content_norm")
+    )
+    signed = add_signature_columns(distinct, cfg).localCheckpoint(eager=True)
+    row = signed.select("band_hash", "sig_packed").first()
+    assert len(row["band_hash"]) == 32
+    assert len(row["sig_packed"]) == 256 // 32
+    unfiltered_cfg = DedupConfig(
+        shingle_k=7, num_perm=256, bands=32, band_bins=128,
+        jaccard_threshold=0.6, est_margin=0.0,
+    )
+    kept, _ = minhash_candidate_pairs(signed, cfg, id_col="sha")
+    raw, _ = minhash_candidate_pairs(signed, unfiltered_cfg, id_col="sha")
+    kept_set = {(r.id_a, r.id_b) for r in kept.collect()}
+    raw_rows = raw.collect()
+    assert kept_set <= {(r.id_a, r.id_b) for r in raw_rows}
+    texts = {r["sha"]: r["content_norm"] for r in signed.collect()}
+    shingles = {s: shingle_set(t, 7) for s, t in texts.items()}
+    dropped_true = [
+        (r.id_a, r.id_b)
+        for r in raw_rows
+        if (r.id_a, r.id_b) not in kept_set
+        and len(shingles[r.id_a] & shingles[r.id_b])
+        / max(1, len(shingles[r.id_a] | shingles[r.id_b]))
+        >= cfg.jaccard_threshold
+    ]
+    assert dropped_true == []

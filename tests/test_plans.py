@@ -97,3 +97,13 @@ def test_est_expression_stays_bit_count_sized(spark):
         # per xor x 2 occurrences = 4 per word
         assert s.count("element_at") == 4 * n_words, s
         assert s.count("bit_count") == n_words, s
+
+
+def test_python_stage_tasks_auto_is_half_the_slots(spark):
+    from fastqdedup_spark.config import DedupConfig
+
+    sc = spark.sparkContext
+    auto = DedupConfig().python_stage_tasks(sc)
+    assert auto == max(2, sc.defaultParallelism // 2)
+    pinned = DedupConfig(python_stage_partitions=7).python_stage_tasks(sc)
+    assert pinned == 7
