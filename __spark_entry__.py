@@ -289,7 +289,13 @@ def q14_minhash_near_dup(spark, sf):
     from fastqdedup_spark.operators.lsh import minhash_candidate_pairs
     from fastqdedup_spark.operators.verify import verify_pairs_jaccard
 
-    cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.8)
+    # est_margin pinned to 0.2: at 128 bins the default 0.141 (tuned
+    # for the 256-bin default sketch) would thin the borderline
+    # false-drop guard from 4.75 to ~3.4 sigma — enough for a rare
+    # oracle-mismatch flake on boundary pairs. 0.2 keeps this query
+    # byte-identical to its long-green round-4 behavior.
+    cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.8,
+                      est_margin=0.2)
     files = _docs_as_files(_t(spark, sf, "documents")).select(
         "id", normalize_content("content").alias("content_norm")
     )

@@ -8,7 +8,7 @@ plus the graft's shingle/signature/band and checkpoint knobs.
 Usage:
     spark-submit --py-files fastqdedup_spark.zip -m fastqdedup_spark.cli \
         --input /data/files --output /data/deduped \
-        --shingle-k 7 --num-perm 128 --bands 32 --threshold 0.8 \
+        --shingle-k 7 --num-perm 256 --bands 32 --threshold 0.8 \
         --cluster-dissection canonical --checkpoint-dir /data/ck
 """
 
@@ -32,8 +32,16 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="Iceberg table or parquet path")
     p.add_argument("--output", required=True)
     p.add_argument("--shingle-k", type=int, default=7)
-    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--num-perm", type=int, default=256)
     p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--band-bins", type=int, default=128,
+                   help="leading signature bins folded into band hashes "
+                        "(0 = all num-perm); the default 256/128 split "
+                        "keeps 128-bin banding recall while the est "
+                        "prefilter reads the tighter 256-bin sketch")
+    p.add_argument("--est-margin", type=float, default=0.141,
+                   help="JVM est-Jaccard prefilter keeps est >= threshold"
+                        " - margin (0 disables); scale ~1/sqrt(num-perm)")
     p.add_argument("--threshold", type=float, default=0.8,
                    help="exact-Jaccard verify cutoff")
     p.add_argument("-d", "--max-distance", type=int, default=1)
@@ -51,7 +59,7 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="strip lines present in more than FRAC of files before shingling")
     p.add_argument("--est-autoaccept", action="store_true",
                    help="accept sketch-certain candidate pairs without exact "
-                        "verification (~4e-5 per-pair false-accept, amplified "
+                        "verification (~3e-3 per-pair false-accept, amplified "
                         "transitively by clustering; off = verify every edge)")
     p.add_argument("--est-transport", default="carry", choices=["probe", "carry"],
                    help="how candidate pairs meet their est sketches: probe "
@@ -164,6 +172,8 @@ def main(argv: list[str] | None = None) -> None:
         shingle_k=args.shingle_k,
         num_perm=args.num_perm,
         bands=args.bands,
+        band_bins=args.band_bins,
+        est_margin=args.est_margin,
         jaccard_threshold=args.threshold,
         max_distance=args.max_distance,
         use_edit_distance=args.use_edit_distance,

@@ -19,18 +19,25 @@ from dataclasses import dataclass, field, asdict
 class DedupConfig:
     # -- similarity model --------------------------------------------------
     shingle_k: int = 7              # char k-gram size over normalized content
-    num_perm: int = 128             # MinHash signature length
+    num_perm: int = 256             # MinHash signature length (est-sketch bins)
     bands: int = 32                 # LSH bands (rows = band_bins // bands)
     # How many LEADING signature bins fold into band hashes (0 = all
     # num_perm). Decouples est-sketch precision from banding recall:
-    # num_perm=256 with band_bins=128 keeps the exact np128 banding
-    # structure (32 bands x 4 rows -> identical candidate-recall math)
-    # while the est prefilter reads a 256-bin sketch whose sigma is
-    # 1/sqrt(2) smaller — the borderline band that pays for exact
-    # python verify shrinks at the SAME false-drop probability.
-    band_bins: int = 0
+    # the default num_perm=256 with band_bins=128 keeps the classic
+    # 128-bin banding structure (32 bands x 4 rows -> identical
+    # candidate-recall math and band-table size) while the est
+    # prefilter reads a 256-bin sketch whose sigma is 1/sqrt(2)
+    # smaller, so est_margin shrinks 0.2 -> 0.141 at the SAME
+    # false-drop probability. Measured at 192k files (scripts/
+    # ab_num_perm.py + pair-count probe, BASELINE.md round 5): pairs
+    # surviving the JVM prefilter into the python exact-Jaccard stage
+    # fell 1,077,966 -> 144,849 (7.4x) with identical final output —
+    # the band flood is mostly sub-threshold boilerplate pairs whose
+    # looser 128-bin estimate crossed the keep line. Costs: 2x OPH
+    # binning (minor vs shingling) and an 8-long carried sketch vs 4.
+    band_bins: int = 128
     jaccard_threshold: float = 0.8  # verify-stage exact Jaccard cutoff
-    est_margin: float = 0.2         # JVM est-Jaccard prefilter: keep est >= threshold - margin (0 disables)
+    est_margin: float = 0.141       # JVM est-Jaccard prefilter: keep est >= threshold - margin (0 disables)
     # -- reference-parity mode (fixed-length keys, Hamming/edit radius) ----
     max_distance: int = 1           # ref default: __init__.py:37
     use_edit_distance: bool = False
@@ -107,7 +114,7 @@ class DedupConfig:
     # space (est_bin_match_prob: j -> j + (1-j)/4), so the Hoeffding
     # bound is P[true j < thr | est >= thr + margin]
     # <= exp(-2*num_perm*(0.75*margin)^2) ~ 3e-3 at the defaults
-    # (num_perm=128, margin=0.2) — and cuts the Python verify stage
+    # (num_perm=256, margin=0.141) — and cuts the Python verify stage
     # ~10x on near-dup-heavy corpora. BUT connected components
     # amplifies it TRANSITIVELY: one false edge merges two whole
     # clusters, so the per-OUTPUT error is bounded by (candidate
@@ -127,9 +134,11 @@ class DedupConfig:
 
     @property
     def resolved_band_bins(self) -> int:
+        # clamped, not asserted: the default band_bins=128 must degrade
+        # gracefully for smaller explicit signatures (num_perm=64 bands
+        # over all 64 bins, exactly the pre-band_bins behavior)
         bb = self.band_bins or self.num_perm
-        assert bb <= self.num_perm, "band_bins cannot exceed num_perm"
-        return bb
+        return min(bb, self.num_perm)
 
     @property
     def rows_per_band(self) -> int:

@@ -20,6 +20,16 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    # Throughput GC for a batch engine: G1's pause-target heuristics
+    # cost ~25% wall on the fused pipeline at width 32 (measured,
+    # BASELINE.md round 5: 50.6 -> 40.0 s at 192k files, 8 GB heap;
+    # a 48 GB G1 heap was another 33% worse). Local-mode driver JVM
+    # flags only apply if exported BEFORE the gateway launches, hence
+    # the env var rather than a builder config; a user-set GC flag in
+    # SPARK_SUBMIT_OPTS wins. No-op if the JVM is already up.
+    opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "GC" not in opts:
+        os.environ["SPARK_SUBMIT_OPTS"] = f"{opts} -XX:+UseParallelGC".strip()
     if shuffle_partitions is None:
         # local[N] → N; on a real cluster this would be ~2x total executor cores
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
@@ -34,6 +44,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # same throughput-GC choice for real cluster executors (no-op
+        # in local mode, where the driver JVM hosts the executors)
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

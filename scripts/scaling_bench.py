@@ -40,8 +40,10 @@ def child(cores: int, n_files: int, cap: int | None = None) -> None:
         # (32.4 vs 44.1 quiet-ish, 35.1 vs 43.7 stormy) and at width 8
         # (56.0 vs 66.7; weaker — reps split 1-1).
         cap = max(2, cores // 2)
+    # shipped defaults (256-bin est sketch banded over its first 128
+    # bins): the gate measures the pipeline a user actually gets
     cfg = DedupConfig(
-        shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
+        shingle_k=7, jaccard_threshold=0.6,
         python_stage_partitions=cap,
     )
     # full warm-up run: the first run in a JVM pays janino compilation,
@@ -87,10 +89,15 @@ def main() -> None:
         # borrows the other 24 cores for GC/python and the comparison
         # under-reports scaling
         env = dict(os.environ)
-        # identical heap on both sides: at 32 cores the allocation rate
-        # is ~4x, and an undersized heap turns the comparison into a GC
-        # benchmark (measured: the whole pipeline plateaued at ~2x)
-        env.setdefault("SPARK_DRIVER_MEMORY", "48g")
+        # identical MODERATE heap on both sides: an oversized heap is a
+        # measured tax at width (BASELINE.md round 5: 48g G1 67.6s /
+        # 48g ParallelGC 73.4s vs 8g ParallelGC 40.0s at 32c, 192k) —
+        # big-heap page/TLB/NUMA costs land exactly where parallelism
+        # is widest. Undersized is just as wrong (r4: a too-small heap
+        # turned the comparison into a GC benchmark), so larger inputs
+        # get proportionally more.
+        env.setdefault("SPARK_DRIVER_MEMORY",
+                       "8g" if n_files <= 400_000 else "24g")
         out = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
              "--child", str(cores), str(n_files)],

@@ -22,7 +22,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def run_child(cores: int, n_files: int) -> dict:
     env = dict(os.environ)
-    env.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    env.setdefault("SPARK_DRIVER_MEMORY",
+                   "8g" if n_files <= 400_000 else "24g")  # BASELINE.md r5: oversized heap taxes width
     # stamp BEFORE launching: load1m after a wide child is mostly the
     # child's own decaying load, not the ambient level it ran under
     load_at_launch = round(os.getloadavg()[0], 1)
