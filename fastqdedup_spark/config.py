@@ -70,17 +70,27 @@ class DedupConfig:
     # width 32 in both load regimes (32.4 vs 44.1 s quiet-ish, 35.1 vs
     # 43.7 stormy; cap 24 worse than both) and at width 8 (56.0 vs
     # 66.7; weaker evidence). Set explicitly to pin a task count.
+    # AUTO is additionally size-aware when the pipeline knows the
+    # stage's row count — see python_stage_tasks below.
     python_stage_partitions: int = 0
+    # AUTO cap threshold: stages with fewer rows than this per
+    # FULL-WIDTH task stay at full width (a short Arrow stage never
+    # builds the sustained python+JVM oversubscription the cap
+    # relieves; capping it just idles half the cores). Calibrated
+    # between the measured 24k-files loss (~300 rows/task, uncapped
+    # wins 15%) and 192k win (~2.3k rows/task, capped wins 25%).
+    python_stage_min_rows_per_task: int = 1000
     # broadcast per-distinct-doc METADATA tables (packed est sketches,
     # shingle sizes) into the candidate/verify joins so the skew flood
     # dies map-side before any shuffle. ~150 B/doc: fine to ~50M distinct
     # contents per executor heap; beyond that the same plans must run as
     # shuffled equi-joins (a wrong broadcast there is a driver OOM).
-    # None = AUTO (the default): resolved STATICALLY per run — when a
-    # checkpoint resume carries the persisted distinct.contents metric,
-    # broadcast iff it is <= est_broadcast_max_rows; with no known count
-    # it broadcasts (the safe small/medium default). Never a mid-plan
-    # count(): the decision costs no action and no barrier. True/False
+    # None = AUTO (the default): resolved STATICALLY per run from the
+    # distinct-contents count — a resumed checkpoint's persisted metric,
+    # else one cheap count of the already-materialized distinct stage
+    # (dedup_files) — broadcast iff it is <= est_broadcast_max_rows.
+    # Callers with no count at all get broadcast (the safe small/medium
+    # default). The decision never forces a plan barrier. True/False
     # pin the plan explicitly.
     est_broadcast: bool | None = None
     est_broadcast_max_rows: int = 50_000_000
@@ -146,13 +156,30 @@ class DedupConfig:
         assert bb % self.bands == 0, "band_bins must divide into bands"
         return bb // self.bands
 
-    def python_stage_tasks(self, sc) -> int:
+    def python_stage_tasks(self, sc, approx_rows: float | None = None) -> int:
         """Resolved Arrow/python-stage task count: an explicit value
         wins; AUTO (0) is half the cluster's task slots (min 2) — each
         Arrow task is a python worker plus a JVM serialization thread,
         so slot-many tasks oversubscribe ~1.4x (see
-        python_stage_partitions above for the measured A/B)."""
-        return self.python_stage_partitions or max(2, sc.defaultParallelism // 2)
+        python_stage_partitions above for the measured A/B).
+
+        The cap is SIZE-AWARE when the caller knows the stage's row
+        count: oversubscription only costs when python workers hold
+        their cores long enough to fight the JVM threads, so a SHORT
+        stage (under python_stage_min_rows_per_task rows per full-width
+        task) keeps full width — halving its parallelism just idles
+        cores. Interleaved A/B (fused pipeline, 32 pinned cores): cap
+        won at 192k files (~2.3k distinct rows/task), LOST ~15% at 24k
+        (~300 rows/task, best 9.7 s uncapped vs 11.5 capped)."""
+        if self.python_stage_partitions:
+            return self.python_stage_partitions
+        width = sc.defaultParallelism
+        if (
+            approx_rows is not None
+            and approx_rows / max(width, 1) < self.python_stage_min_rows_per_task
+        ):
+            return width
+        return max(2, width // 2)
 
     def resolved_est_broadcast(self, known_distinct: float | None = None) -> bool:
         """Static resolution of the est_broadcast AUTO mode: an explicit

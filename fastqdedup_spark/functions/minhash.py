@@ -193,11 +193,15 @@ def shingle_set(text: str, k: int) -> set:
     return set(H[: counts[0]].tolist())
 
 
-def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+def add_signature_columns(
+    df: DataFrame, cfg: DedupConfig, approx_rows: float | None = None
+) -> DataFrame:
     """Appends `n_shingles:int`, `band_hash:array<long>` via one
     mapInPandas pass over (id-ish cols + content_norm). Signature
     itself is folded straight into band hashes — the full signature
-    array never ships through a shuffle unless requested."""
+    array never ships through a shuffle unless requested.
+    `approx_rows` (when the caller knows it) sizes the Arrow-stage
+    task cap — see DedupConfig.python_stage_tasks."""
     in_cols = df.columns
     if "content_norm" not in in_cols:
         df = df.withColumn("content_norm", normalize_content("content"))
@@ -210,7 +214,9 @@ def add_signature_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     # CPU-bound Python stage: AQE coalesces by BYTES and would starve it
     # down to a few cores — fan back out to the python-stage task count
     # first (half the slots by default, see DedupConfig).
-    df = df.repartition(cfg.python_stage_tasks(df.sparkSession.sparkContext))
+    df = df.repartition(
+        cfg.python_stage_tasks(df.sparkSession.sparkContext, approx_rows)
+    )
 
     def gen(it):
         for pdf in it:

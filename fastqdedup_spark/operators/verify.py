@@ -274,6 +274,7 @@ def verify_pairs_jaccard(
     id_col: str = "sha", content_col: str = "content_norm",
     size_col: str | None = "n_shingles",
     skip_est: bool = False,
+    approx_rows: float | None = None,
 ) -> DataFrame:
     """Code-domain verification: exact Jaccard >= threshold on
     normalized content. Returns (id_a, id_b, jaccard).
@@ -351,7 +352,7 @@ def verify_pairs_jaccard(
     # while 8 cores improved — skew costs the most exactly where
     # parallelism is widest.
     withv = withv.repartition(
-        cfg.python_stage_tasks(withv.sparkSession.sparkContext),
+        cfg.python_stage_tasks(withv.sparkSession.sparkContext, approx_rows),
         "id_a",
         F.pmod(F.xxhash64("id_b"), F.lit(4)),
     )

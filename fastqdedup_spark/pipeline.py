@@ -148,16 +148,22 @@ def dedup_files(
         # stage's resume: it feeds the est_broadcast auto-gate below
         reload_metrics=("distinct",),
     )
-    # AUTO est_broadcast resolution (static per run, no mid-plan count):
-    # a resumed checkpoint knows the distinct-contents count from the
-    # previous run's persisted metrics; past est_broadcast_max_rows the
-    # sketch/size joins must run shuffled (a forced broadcast there is a
-    # driver OOM at >50M distinct contents). cfg itself stays untouched
-    # — config_hash (and so checkpoint keys) is computed from the
-    # user-provided config, not the resolved plan choice.
-    eff_broadcast = cfg.resolved_est_broadcast(
-        ck.metrics.as_dict().get("distinct.contents")
-    )
+    # The distinct-contents count sizes two static plan choices below
+    # (est_broadcast gate, Arrow-stage task cap). A resumed checkpoint
+    # knows it from the previous run's persisted metrics; a fresh run
+    # pays one cheap count JOB on the already-materialized stage (scan
+    # of cached/parquet blocks, no recompute, no plan barrier — the
+    # stage exists either way).
+    n_distinct = ck.metrics.as_dict().get("distinct.contents")
+    if n_distinct is None:
+        n_distinct = distinct.count()
+    # AUTO est_broadcast resolution (static per run): past
+    # est_broadcast_max_rows the sketch/size joins must run shuffled (a
+    # forced broadcast there is a driver OOM at >50M distinct
+    # contents). cfg itself stays untouched — config_hash (and so
+    # checkpoint keys) is computed from the user-provided config, not
+    # the resolved plan choice.
+    eff_broadcast = cfg.resolved_est_broadcast(n_distinct)
     ck.metrics.add("est", "broadcast", float(eff_broadcast))
     cfg_run = replace(cfg, est_broadcast=eff_broadcast)
     def _build_signatures() -> DataFrame:
@@ -182,6 +188,7 @@ def dedup_files(
                 "sha", "cnt", "content_norm"
             ),
             cfg,
+            approx_rows=n_distinct,
         ).withColumn("nid", F.unhex(F.substring("sha", 1, 32)))
 
     signed = ck.stage("signatures", _build_signatures)
@@ -237,6 +244,10 @@ def dedup_files(
             cfg_run,
             id_col="nid",
             skip_est=est_ran_upstream,
+            # proxy for the (unknown) borderline-pair count: the
+            # whole-pipeline cap A/Bs that calibrated the threshold
+            # capped/uncapped both Arrow stages together
+            approx_rows=n_distinct,
         ).select("id_a", "id_b")
         return verified if certain is None else certain.unionByName(verified)
 
@@ -310,7 +321,7 @@ def dedup_files(
         ck.metrics.add_row("bands", band_metrics.collect()[0].asDict())
         ck.metrics.add("cc", "rounds", rounds)
         ck.metrics.add("input", "files", files.count())
-        ck.metrics.add("distinct", "contents", distinct.count())
+        ck.metrics.add("distinct", "contents", n_distinct)
         ck.metrics.add("edges", "n", edges_nid.count())
         ck.metrics.add("output", "files", deduped.count())
     ck.write_metrics()

@@ -107,3 +107,28 @@ def test_python_stage_tasks_auto_is_half_the_slots(spark):
     assert auto == max(2, sc.defaultParallelism // 2)
     pinned = DedupConfig(python_stage_partitions=7).python_stage_tasks(sc)
     assert pinned == 7
+
+
+def test_python_stage_tasks_cap_is_size_aware(spark):
+    """The AUTO cap only engages for stages long enough to sustain
+    python+JVM oversubscription; short stages keep full width (measured:
+    capping a ~300-rows-per-task stage cost 15% wall — BASELINE.md r5)."""
+    from fastqdedup_spark.config import DedupConfig
+
+    sc = spark.sparkContext
+    width = sc.defaultParallelism
+    cfg = DedupConfig()
+    threshold = cfg.python_stage_min_rows_per_task
+    # short stage -> full width
+    assert cfg.python_stage_tasks(sc, approx_rows=width * threshold - 1) == width
+    # long stage -> capped to half
+    assert cfg.python_stage_tasks(sc, approx_rows=width * threshold) == max(
+        2, width // 2
+    )
+    # unknown size -> conservative cap (status quo)
+    assert cfg.python_stage_tasks(sc, approx_rows=None) == max(2, width // 2)
+    # an explicit pin always wins
+    assert (
+        DedupConfig(python_stage_partitions=7).python_stage_tasks(sc, approx_rows=1)
+        == 7
+    )
