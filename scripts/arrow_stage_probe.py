@@ -38,9 +38,10 @@ def main():
 
     spark = get_spark_ui(cores)
     spark.sparkContext.setLogLevel("ERROR")
+    # shipped defaults (256-bin sketch over 128-bin banding) with only
+    # the task cap overridden — the knob under test
     cfg = DedupConfig(
-        shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
-        python_stage_partitions=cap,
+        shingle_k=7, jaccard_threshold=0.6, python_stage_partitions=cap,
     )
     files = generate_files(spark, n_files, seed=42).localCheckpoint(eager=True)
     distinct = (
@@ -74,25 +75,29 @@ def main():
         }), flush=True)
         return df
 
-    signed = timed(
-        "signatures",
-        lambda: add_signature_columns(distinct, cfg)
-        .withColumn("nid", F.unhex(F.substring("sha", 1, 32)))
-        .localCheckpoint(eager=True),
-    )
+    # rep 0 is the cold pass (janino + HotSpot + python-worker spin-up
+    # land there); rep 1 is the steady state a long job runs at
+    for rep in range(2):
+        signed = timed(
+            f"signatures_r{rep}",
+            lambda: add_signature_columns(distinct, cfg)
+            .withColumn("nid", F.unhex(F.substring("sha", 1, 32)))
+            .localCheckpoint(eager=True),
+        )
     pairs, _ = minhash_candidate_pairs(signed, cfg, id_col="nid")
     pairs = pairs.localCheckpoint(eager=True)
     pairs.count()
-    timed(
-        "edges",
-        lambda: verify_pairs_jaccard(
-            pairs,
-            signed.select("nid", "content_norm", "n_shingles", "sig_packed"),
-            cfg,
-            id_col="nid",
-            skip_est=True,
-        ),
-    )
+    for rep in range(2):
+        timed(
+            f"edges_r{rep}",
+            lambda: verify_pairs_jaccard(
+                pairs,
+                signed.select("nid", "content_norm", "n_shingles", "sig_packed"),
+                cfg,
+                id_col="nid",
+                skip_est=True,
+            ),
+        )
     spark.stop()
 
 
