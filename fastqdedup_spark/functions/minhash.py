@@ -55,6 +55,34 @@ def normalize_content(col: str | Column = "content") -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+# Row-chunk size for the signer kernels (content bytes per chunk).
+# Sized so every per-window temporary (8 bytes x ~4 live arrays per op)
+# stays L2/L3-resident even with a full complement of concurrent Arrow
+# workers sharing the cache; 256 KB measured best of {256 KB, 1 MB}
+# single-threaded and the win is larger under parallel DRAM contention.
+_SIGNER_CHUNK_BYTES = 256 << 10
+
+
+def content_chunk_bounds(lens: np.ndarray, target_bytes: int = _SIGNER_CHUNK_BYTES):
+    """(lo, hi) row-ranges cutting `lens` at ~target_bytes boundaries
+    (a row longer than the target gets its own chunk). Feeding the
+    shingle/OPH kernels cache-resident chunks instead of whole Arrow
+    batches avoids their full-width uint64 temporaries — ~120 MB of
+    fresh allocation + DRAM sweep per op at 10k rows — and measured
+    11x faster there, byte-identical output (BASELINE.md round 5)."""
+    n = len(lens)
+    if n == 0:
+        return
+    cut = np.searchsorted(
+        np.cumsum(lens, dtype=np.int64), np.arange(1, n, dtype=np.int64) * target_bytes
+    )
+    for lo, hi in zip(
+        np.concatenate(([0], cut)), np.concatenate((cut, [n]))
+    ):
+        if lo < hi:
+            yield int(lo), int(hi)
+
+
 def shingle_window_hashes(
     texts: "pd.Series | list[str]", k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -218,20 +246,41 @@ def add_signature_columns(
         cfg.python_stage_tasks(df.sparkSession.sparkContext, approx_rows)
     )
 
+    def sign_chunk(texts):
+        """shingle -> OPH -> n_unique for a CACHE-RESIDENT row chunk."""
+        H, starts, counts = shingle_window_hashes(texts, k)
+        sig = oph_signatures(H, starts, counts, num_perm, seed).view(np.int64)
+        n_unique = np.fromiter(
+            (
+                len(np.unique(H[starts[i] : starts[i] + counts[i]]))
+                for i in range(len(starts))
+            ),
+            dtype=np.int32,
+            count=len(starts),
+        )
+        return sig, n_unique
+
     def gen(it):
         for pdf in it:
             texts = pdf["content_norm"].fillna("")
-            H, starts, counts = shingle_window_hashes(texts, k)
-            sig = oph_signatures(H, starts, counts, num_perm, seed).view(np.int64)
+            # cache-resident chunks: see content_chunk_bounds (measured
+            # 11x at the 10k-row batch size, 29x at 36k rows; signer
+            # stage wall 35.3 -> 10.8 s at 768k files / 32c). The chunk
+            # loop's python overhead is ~30 numpy calls per ~170 rows,
+            # noise next to the kernels.
+            lens = texts.str.len().to_numpy(dtype=np.int64)
+            sig_parts, nu_parts = [], []
+            for lo, hi in content_chunk_bounds(lens):
+                s, nu = sign_chunk(texts.iloc[lo:hi])
+                sig_parts.append(s)
+                nu_parts.append(nu)
+            if sig_parts:
+                sig = np.concatenate(sig_parts)
+                n_unique = np.concatenate(nu_parts)
+            else:
+                sig = np.zeros((0, num_perm), dtype=np.int64)
+                n_unique = np.zeros(0, dtype=np.int32)
             bh = band_hashes_from_sig(sig[:, :band_bins], bands, seed)
-            n_unique = np.fromiter(
-                (
-                    len(np.unique(H[starts[i] : starts[i] + counts[i]]))
-                    for i in range(len(starts))
-                ),
-                dtype=np.int32,
-                count=len(starts),
-            )
             # pack the low 2 BITS of every bin: 128 bins -> 4 longs (32
             # bins/word). The est-Jaccard prefilter counts agreeing
             # 2-bit bins via XOR + one OR-collapse + bit_count — ~25

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame
 
 from fastqdedup_spark.config import DedupConfig
 from fastqdedup_spark.functions.distances import make_within_distance_udf
-from fastqdedup_spark.functions.minhash import shingle_window_hashes
+from fastqdedup_spark.functions.minhash import (
+    content_chunk_bounds,
+    shingle_window_hashes,
+)
 
 
 def _attach_pair_values(
@@ -91,11 +94,19 @@ def make_jaccard_udf(k: int, cache_cap_bytes: int = 512 << 20):
             else:
                 cache[u] = v  # reinsert: most-recently-used at the end
         if missing:
-            H, starts, counts = shingle_window_hashes(missing, k)
-            for i, u in enumerate(missing):
-                arr = np.unique(H[starts[i] : starts[i] + counts[i]])
-                cache[u] = arr
-                cache_bytes[0] += arr.nbytes
+            # cache-resident chunks (see content_chunk_bounds): a cold
+            # task's first batches shingle thousands of uncached docs
+            # at once, and the whole-batch kernel call pays ~120 MB of
+            # fresh-temporary allocation + DRAM sweep per numpy op
+            mlens = np.fromiter(
+                (len(u) for u in missing), dtype=np.int64, count=len(missing)
+            )
+            for lo, hi in content_chunk_bounds(mlens):
+                H, starts, counts = shingle_window_hashes(missing[lo:hi], k)
+                for i in range(hi - lo):
+                    arr = np.unique(H[starts[i] : starts[i] + counts[i]])
+                    cache[missing[lo + i]] = arr
+                    cache_bytes[0] += arr.nbytes
         _t2 = _time.monotonic()
         sets = [cache[u] for u in uniques]
         n = len(a)
