@@ -50,8 +50,31 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
     return _splitmix64(sums ^ (lens.astype(np.uint64) * _P1))
 
 
+# Calibrated on sf0.1 documents (BASELINE.md round 5): the signers'
+# (n_tokens, 64) bit/sign temporaries are ~256 B per content byte, so
+# a 32 KB content chunk keeps them L2-resident — measured 2.4x
+# (splitmix signer) / 3.0x (portable) over the full-batch call,
+# byte-identical output. Same mechanism as minhash.content_chunk_bounds.
+_SIMHASH_CHUNK_BYTES = 32 * 1024
+
+
 def simhash_batch(texts: "pd.Series | list[str]", seed: int = 42) -> np.ndarray:
-    """int64[n_rows] SimHash over lowercased whitespace tokens."""
+    """int64[n_rows] SimHash over lowercased whitespace tokens.
+
+    Dispatches cache-resident content chunks to `_simhash_chunk` (see
+    _SIMHASH_CHUNK_BYTES)."""
+    from fastqdedup_spark.functions.minhash import content_chunk_bounds
+
+    texts = list(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    parts = [
+        _simhash_chunk(texts[lo:hi], seed)
+        for lo, hi in content_chunk_bounds(lens, _SIMHASH_CHUNK_BYTES)
+    ]
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
+def _simhash_chunk(texts: "list[str]", seed: int = 42) -> np.ndarray:
     n = len(texts)
     token_lists = [t.lower().split() for t in texts]
     counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
