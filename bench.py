@@ -6,7 +6,7 @@ line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
 
 Noisy-neighbor hygiene (VERDICT r3 #3: a load-contaminated BENCH_r03
 was indistinguishable from a 3x regression without a judge rerun):
-every query runs best-of-$SPARK_GRAFT_BENCH_REPS (default 2) with a
+every query runs best-of-$SPARK_GRAFT_BENCH_REPS (default 3) with a
 FRESH DataFrame per rep (rebuilding the plan defeats Spark's
 shuffle-stage reuse, which would otherwise fake the repeat), and
 os.getloadavg() is stamped around each rep in the detail payload.
@@ -37,7 +37,11 @@ from fastqdedup_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_CORPUS_FILES", "24000"))
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# best-of-3: rep variance on this box reaches 3x within one JVM (load
+# waves + C2 warm-up of the band-join codegen — q15's first rep runs
+# 2-3x its steady state), so best-of-2 under-reports the plan. Measured
+# 2026-08-17: q15 reps 17.5/7.6/5.1 at stable ambient load.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 timings: dict[str, float] = {}
 extras: dict[str, dict] = {}
