@@ -81,3 +81,29 @@ def test_cc_oracle_is_a_partition(keys, d, edit):
             if k == k2:
                 assert labels[i] == labels[j]
     assert all(labels[l] == l for l in set(labels))
+
+
+def test_simhash_chunk_dispatch_matches_single_chunk():
+    """The 32 KB cache-residency chunking (simhash._SIMHASH_CHUNK_BYTES)
+    must be invisible: a batch spanning several chunk boundaries — with
+    empty rows and an oversized single row AT a boundary — hashes
+    byte-identically to the unchunked kernel."""
+    from fastqdedup_spark.functions.portable import (
+        _portable_simhash_chunk,
+        portable_simhash_batch,
+    )
+    from fastqdedup_spark.functions.simhash import _simhash_chunk
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "yy", ""]
+    batch = []
+    for i in range(90):  # ~90 x ~2.4 KB = ~220 KB >> 32 KB: many chunks
+        batch.append(" ".join(rng.choice(words, size=400).tolist()))
+        if i % 30 == 10:
+            batch.append("")  # empty rows land inside chunks
+        if i == 45:
+            batch.append("big " * 20_000)  # 80 KB row: gets its own chunk
+    assert np.array_equal(simhash_batch(batch, 7), _simhash_chunk(batch, 7))
+    assert np.array_equal(
+        portable_simhash_batch(batch), _portable_simhash_chunk(batch)
+    )
