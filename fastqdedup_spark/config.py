@@ -113,7 +113,12 @@ class DedupConfig:
     # co-located shuffled hash join (scale-invariant — the corpus-sized
     # band table can never broadcast at 100 TB); "" lets AQE pick
     # (broadcast at small scale). Measured per-scheme in BASELINE.md
-    # round 5.
+    # round 5. Sizing caveat: a shuffled hash join's build side must
+    # fit in per-task execution memory — it throws SparkOutOfMemoryError
+    # rather than spilling (sort-merge would spill). Size the heap to
+    # ~build_bytes/partitions per task slot (local mode: 24g holds
+    # 768k files at 32 partitions; 8g does not) or set "" / "merge"
+    # when memory is the binding constraint.
     band_join_hint: str = "shuffle_hash"
     # OPT-IN speed knob: accept candidate pairs whose estimated Jaccard
     # clears threshold + est_margin WITHOUT exact re-verification (the

@@ -9,7 +9,9 @@ this box arrives in ~10-minute waves — so the arms are interleaved
 across waves and judged best-of (contention only ever slows a run).
 
 Usage: taskset -c 0-<n-1> python scripts/cap_ab.py <cores> [n_files] [reps] [caps]
-caps is comma-separated (default "0,16,24"); 0 = no cap (defaultParallelism).
+caps is comma-separated (default "0,16,24"); 0 = the size-aware AUTO
+default (DedupConfig.python_stage_tasks: cores//2 for long stages,
+full width for short ones), an explicit N = exactly N tasks.
 Prints one JSON line per (cap, rep) plus a best-of summary.
 """
 import json
@@ -37,8 +39,11 @@ def main():
     files.count()
     # warm python workers + JIT with one throwaway full run (cold rep 1
     # otherwise pays janino/JIT/python spin-up and poisons whichever arm
-    # goes first)
-    warm = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6)
+    # goes first). Shipped defaults (256/128 sketch) since the round-5
+    # recalibration: the cap verdict must track the production path —
+    # the original calibration predated the chunked kernels, which cut
+    # python-side work ~5x and shift the oversubscription balance.
+    warm = DedupConfig(shingle_k=7, jaccard_threshold=0.6)
     dedup_files(spark, files, warm, quality=False, collect_metrics=False).deduped.count()
 
     best = {}
@@ -46,7 +51,7 @@ def main():
     for rep in range(reps):
         for cap in order:
             cfg = DedupConfig(
-                shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
+                shingle_k=7, jaccard_threshold=0.6,
                 python_stage_partitions=cap,
             )
             l0 = os.getloadavg()[0]
