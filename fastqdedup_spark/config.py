@@ -94,6 +94,42 @@ class DedupConfig:
     # pin the plan explicitly.
     est_broadcast: bool | None = None
     est_broadcast_max_rows: int = 50_000_000
+    # Cluster-oriented verify partitioning: key each candidate pair by
+    # a ONE-ROUND hash-min label — label(v) = min(v, min neighbor of v)
+    # over the verified pair set, key(pair) = min(label(a), label(b)).
+    # Near-dup components are CLIQUES (planted dup groups, boilerplate
+    # families), and a clique's labels all collapse to its min id, so
+    # every pair of a component lands on one key and each member
+    # document is shingled ONCE per task. The legacy (id_a, salt-4) key
+    # left a 90% per-task shingle-cache MISS rate at 768k files (1.01M
+    # misses per run for 387k distinct docs, scripts/arrow_stage_probe
+    # + FASTQDEDUP_VERIFY_PROF, 2026-08-18): id_b appearances scatter
+    # across tasks and the unconditional 4-way salt quarters id_a
+    # locality too — and per-doc shingling is 90% of verify's python
+    # time. Degree-based orientation (partition by the higher-degree
+    # endpoint) was built and measured first: only -18% misses, wall a
+    # wash — cliques have no hubs. Hash-min keying measures 397k
+    # predicted misses at 768k/16 tasks, within 2.6% of the ideal.
+    # The key changes ONLY partitioning; output pairs are identical.
+    # Costs one ids-only lazy localCheckpoint (the label pass must not
+    # re-run the band join) + two small groupBys + map-side joins —
+    # machinery that only amortizes on LONG verify stages: interleaved
+    # 24k-corpus A/B (32 cores) measured the oriented pipeline ~10%
+    # SLOWER (best 10.98 vs 9.83 s; the label/count broadcasts dominate
+    # a short stage), while 768k measured ~2x FASTER (best 7.74 vs
+    # 14.4 s). None = AUTO: orient exactly when the same size rule that
+    # engages the Arrow-task cap says the stage is long
+    # (approx_rows/width >= python_stage_min_rows_per_task; unknown
+    # row count -> legacy keying). True/False pin it.
+    verify_orient: bool | None = None
+    # Mega-component insurance: a key whose pair count exceeds this
+    # splits into ceil(cnt/budget) subtasks salted by id_a (a 10k-doc
+    # boilerplate clique is ~50M pairs — on ONE key that is the
+    # straggler shape that regressed 53 -> 94 s at 192k, and skew costs
+    # the most exactly where parallelism is widest). 32k pairs x ~80 us
+    # of python verify ~ 2.5 s per subtask. The 768k synthetic corpus
+    # never triggers it (max 183 pairs/key).
+    verify_pairs_per_key: int = 32768
     # How pair candidates meet their est sketches: "carry" (default)
     # ships sig_packed through the band shuffle as a payload column on
     # BOTH join sides, so the est filter reads the streamed row — zero
@@ -179,12 +215,30 @@ class DedupConfig:
         if self.python_stage_partitions:
             return self.python_stage_partitions
         width = sc.defaultParallelism
-        if (
-            approx_rows is not None
-            and approx_rows / max(width, 1) < self.python_stage_min_rows_per_task
-        ):
+        if not self.python_stage_is_long(sc, approx_rows):
             return width
         return max(2, width // 2)
+
+    def python_stage_is_long(self, sc, approx_rows: float | None = None) -> bool:
+        """Is the python stage long enough for per-stage machinery (the
+        Arrow-task cap, the hash-min verify keying) to amortize? True
+        when the known row count exceeds python_stage_min_rows_per_task
+        per full-width task — or when the count is unknown (the cap's
+        safe default for medium/large corpora)."""
+        width = max(sc.defaultParallelism, 1)
+        return (
+            approx_rows is None
+            or approx_rows / width >= self.python_stage_min_rows_per_task
+        )
+
+    def resolved_verify_orient(self, sc, approx_rows: float | None = None) -> bool:
+        """Static resolution of verify_orient's AUTO mode (see the field
+        comment): explicit True/False wins; AUTO orients exactly when
+        the stage is long AND the caller knows it (an unknown row count
+        stays legacy — q14-style direct operator calls are small)."""
+        if self.verify_orient is not None:
+            return self.verify_orient
+        return approx_rows is not None and self.python_stage_is_long(sc, approx_rows)
 
     def resolved_est_broadcast(self, known_distinct: float | None = None) -> bool:
         """Static resolution of the est_broadcast AUTO mode: an explicit

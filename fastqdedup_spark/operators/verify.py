@@ -343,30 +343,70 @@ def verify_pairs_jaccard(
             )
             .select("id_a", "id_b")
         )
+    # CPU-bound verify: fan out to full parallelism (AQE's byte-based
+    # coalescing would run the pair kernel on a handful of cores) — but
+    # partition by DOCUMENT, not round-robin: near-dup pairs are
+    # clustered, so grouping a document's pairs into the same task lets
+    # the UDF's per-task shingle cache amortize each document's
+    # shingling across its pairs. Round-robin scattered every hot
+    # document into every partition and the python re-shingling work
+    # grew ~linearly with the partition count (the stage's 8->32-core
+    # scaling was FLAT).
+    #
+    # Cluster orientation (cfg.verify_orient): key each pair by a
+    # one-round hash-min label so each near-dup COMPONENT's pairs land
+    # on one key (components are cliques; a clique's labels collapse to
+    # its min id). The legacy (id_a, 4-way id_b salt) key measured a
+    # 90% per-task cache MISS rate at 768k files — 1.01M misses for
+    # 387k distinct docs — and shingling misses are 90% of verify's
+    # python time (398 of 444 core-s, FASTQDEDUP_VERIFY_PROF). Degree
+    # orientation (higher-degree endpoint as key) was measured first
+    # and is NOT it: -18% misses, wall a wash — cliques have no hubs.
+    # Hash-min keying predicts 397k misses, 2.6% off the ideal. The
+    # labels come from the verified pair set itself; the ids-only lazy
+    # localCheckpoint pins the upstream band join to a single
+    # evaluation when `pairs` arrives unmaterialized (q14-style
+    # callers). Keys above cfg.verify_pairs_per_key pairs split into
+    # id_a-salted subtasks (mega-clique straggler insurance; skew costs
+    # the most exactly where parallelism is widest: 53 -> 94 s at 192k
+    # when one hot task landed at full width).
+    sc = pairs.sparkSession.sparkContext
+    ptasks = cfg.python_stage_tasks(sc, approx_rows)
+    orient = cfg.resolved_verify_orient(sc, approx_rows)
+    if orient:
+        pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+        nb = pairs.select(
+            F.col("id_a").alias("_v"), F.col("id_b").alias("_n")
+        ).unionByName(pairs.select(F.col("id_b").alias("_v"), F.col("id_a").alias("_n")))
+        lab = nb.groupBy("_v").agg(F.min("_n").alias("_mn"))
+        lab = lab.select("_v", F.least("_mn", "_v").alias("_l"))
+        pairs = (
+            pairs.join(
+                hint(lab.select(F.col("_v").alias("id_a"), F.col("_l").alias("_la"))),
+                "id_a",
+            )
+            .join(
+                hint(lab.select(F.col("_v").alias("id_b"), F.col("_l").alias("_lb"))),
+                "id_b",
+            )
+            .withColumn("_key", F.least("_la", "_lb"))
+        )
+        kcnt = pairs.groupBy("_key").agg(F.count(F.lit(1)).alias("_kcnt"))
+        pairs = pairs.join(hint(kcnt), "_key")
     withv = _attach_pair_values(
         pairs, contents.select(id_col, content_col), id_col, content_col
     )
-    # CPU-bound verify: fan out to full parallelism (AQE's byte-based
-    # coalescing would run the pair kernel on a handful of cores) — but
-    # partition by id_a, NOT round-robin: near-dup pairs are clustered,
-    # so grouping a document's pairs into the same task lets the UDF's
-    # per-task shingle cache amortize each document's shingling across
-    # its pairs. Round-robin scattered every hot document into every
-    # partition and the python re-shingling work grew ~linearly with
-    # the partition count (the stage's 8->32-core scaling was FLAT).
-    # The in-partition sort makes each id_a's pairs CONTIGUOUS, so a
-    # batch's working set is a handful of A-documents — the LRU cache
-    # stays far below its cap even when a task's total distinct-doc
-    # footprint exceeds it. The 4-way id_b salt bounds hot-id_a skew:
-    # without it one boilerplate hub's pairs made a straggler task and
-    # the 32-core wall REGRESSED 53 -> 94 s at 192k files (quiet run)
-    # while 8 cores improved — skew costs the most exactly where
-    # parallelism is widest.
-    withv = withv.repartition(
-        cfg.python_stage_tasks(withv.sparkSession.sparkContext, approx_rows),
-        "id_a",
-        F.pmod(F.xxhash64("id_b"), F.lit(4)),
-    )
+    if orient:
+        budget = F.lit(cfg.verify_pairs_per_key)
+        salt = F.when(
+            F.col("_kcnt") > budget,
+            F.pmod(F.xxhash64("id_a"), F.ceil(F.col("_kcnt") / budget).cast("long")),
+        ).otherwise(F.lit(0))
+        withv = withv.repartition(ptasks, F.col("_key"), salt)
+    else:
+        withv = withv.repartition(
+            ptasks, "id_a", F.pmod(F.xxhash64("id_b"), F.lit(4))
+        )
     return (
         withv.withColumn("jaccard", jac("value_a", "value_b"))
         .filter(F.col("jaccard") >= cfg.jaccard_threshold)

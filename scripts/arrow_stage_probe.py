@@ -87,17 +87,23 @@ def main():
     pairs, _ = minhash_candidate_pairs(signed, cfg, id_col="nid")
     pairs = pairs.localCheckpoint(eager=True)
     pairs.count()
-    for rep in range(2):
-        timed(
-            f"edges_r{rep}",
-            lambda: verify_pairs_jaccard(
-                pairs,
-                signed.select("nid", "content_norm", "n_shingles", "sig_packed"),
-                cfg,
-                id_col="nid",
-                skip_est=True,
-            ),
-        )
+    # interleaved same-JVM A/B of the verify partitioning mode (legacy
+    # vs degree-oriented) — same load window, same warm python workers
+    import dataclasses
+
+    for rep in range(3):
+        for orient in (False, True):
+            c = dataclasses.replace(cfg, verify_orient=orient)
+            timed(
+                f"edges_orient{int(orient)}_r{rep}",
+                lambda: verify_pairs_jaccard(
+                    pairs,
+                    signed.select("nid", "content_norm", "n_shingles", "sig_packed"),
+                    c,
+                    id_col="nid",
+                    skip_est=True,
+                ),
+            )
     spark.stop()
 
 
