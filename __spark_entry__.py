@@ -475,6 +475,28 @@ def q21_video_features(spark, sf):
     ).orderBy("media_id")
 
 
+def q22_ann_ivf(spark, sf):
+    """IVF-Flat ANN (the second ANN scale path next to q17's LSH):
+    deterministic Knuth-hash sample centroids, nearest-centroid
+    inverted lists, n_probe-list probing, exact cosine rerank. The
+    oracle replicates the WHOLE algorithm in SQL — centroid selection,
+    assignment argmax (ties by centroid id), probe ranking, rerank —
+    so a wrong list assignment or probe set breaks the hash, not just
+    a wrong final ranking."""
+    from fastqdedup_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=3, n_list=16, n_probe=4).select(
+        "query_id",
+        "vec_id",
+        "list_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -498,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_embedding_near_dup": q19_embedding_near_dup,
         "q20_media_features": q20_media_features,
         "q21_video_features": q21_video_features,
+        "q22_ann_ivf": q22_ann_ivf,
     }
 
 
@@ -779,6 +802,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        # q22: the oracle replicates the IVF algorithm end-to-end —
+        # Knuth-hash centroid sample, argmax assignment (ties by
+        # centroid id), probe ranking, exact rerank — not just the
+        # final neighbor set.
+        "q22_ann_ivf": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                FROM embeddings
+                ORDER BY (vec_id * 2654435761) % 2147483647 ASC, vec_id ASC
+                LIMIT 16
+            ), scored AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                                    c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c
+            ), assigned AS (
+                SELECT vec_id, v, cid AS list_id FROM scored WHERE rn = 1
+            ), probes AS (
+                SELECT query_id, qv, cid AS list_id FROM (
+                    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cid,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec) DESC,
+                                        c.cid ASC) AS pr
+                    FROM embeddings q CROSS JOIN c WHERE q.vec_id < 5)
+                WHERE pr <= 4
+            ), cand AS (
+                SELECT p.query_id, a.vec_id, a.list_id,
+                       list_cosine_similarity(a.v, p.qv) AS score
+                FROM probes p JOIN assigned a ON p.list_id = a.list_id
+            )
+            SELECT query_id, vec_id, list_id, rank FROM (
+                SELECT query_id, vec_id, list_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id ASC) AS rank
+                FROM cand) WHERE rank <= 3
         """,
         "q19_embedding_near_dup": """
             WITH all_vecs AS (

@@ -14,6 +14,14 @@ exists).
 Metrics: each stage appends rows (stage, metric, value) — the analog of
 the reference's trie stats / per-stage timing
 (/root/reference/src/fastqdedup/__init__.py:133-157, 410-412).
+
+Lineage: every materialized stage also persists a per-partition-file
+fingerprint table (`<base>/_lineage/<stage>`: file, rows, xor/sum-folded
+xxhash64 of all hashable columns). A resume recomputes the fingerprints
+from the stage it is about to trust and fails loudly on mismatch —
+"resumes idempotently" is verified, not assumed: a half-overwritten or
+bit-rotted stage cannot silently flow downstream past the _SUCCESS
+marker.
 """
 
 from __future__ import annotations
@@ -22,6 +30,7 @@ import os
 import time
 from typing import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from fastqdedup_spark.config import DedupConfig
@@ -86,6 +95,78 @@ class StageCheckpointer:
     def _path(self, stage: str) -> str:
         return os.path.join(self.base, stage)
 
+    def _lineage_path(self, stage: str) -> str:
+        return os.path.join(self.base, "_lineage", stage)
+
+    def _lineage_rows(self, df: DataFrame) -> list[tuple[str, int, int, int]]:
+        """Per-partition-file lineage of a materialized stage: for each
+        parquet part file, (file, rows, xor- and sum-folded xxhash64 of
+        every hashable column). Order-insensitive multiset fingerprint:
+        XOR alone cancels duplicate rows, the wrapping SUM does not, so
+        the pair catches dropped/extra/bit-flipped rows that the
+        _SUCCESS marker and row counts cannot. One aggregation job over
+        the stage (map-side combine, one row out per file)."""
+        hashable = [
+            c for c in df.columns
+            if "map<" not in df.schema[c].dataType.simpleString()
+        ]
+        h = F.xxhash64(*hashable) if hashable else F.lit(0).cast("long")
+        # the SUM fold is pmod-bounded so it cannot overflow int64 under
+        # ANSI mode (2^31 max per row -> safe past 4B rows per file)
+        agg = (
+            df.groupBy(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.bit_xor(h).alias("xor_fp"),
+                F.sum(F.pmod(h, F.lit(2147483647))).alias("sum_fp"),
+            )
+            .collect()
+        )
+        return sorted(
+            (r["file"], r["rows"], r["xor_fp"] or 0, r["sum_fp"] or 0) for r in agg
+        )
+
+    def _write_lineage(self, stage: str, df: DataFrame) -> None:
+        rows = self._lineage_rows(df)
+        self.spark.createDataFrame(
+            rows, "file string, rows long, xor_fp long, sum_fp long"
+        ).coalesce(1).write.mode("overwrite").parquet(self._lineage_path(stage))
+        self.metrics.add(stage, "lineage_files", len(rows))
+
+    def _verify_lineage(self, stage: str, df: DataFrame) -> None:
+        """On resume, recompute the per-file fingerprints and compare to
+        the ones persisted at write time — a partial overwrite or
+        corrupted part file fails loudly instead of flowing downstream.
+        Checkpoints from before lineage existed just skip (metric 0)."""
+        lpath = self._lineage_path(stage)
+        if not self.cfg.lineage or not os.path.exists(
+            os.path.join(lpath, "_SUCCESS")
+        ):
+            self.metrics.add(stage, "lineage_verified", 0)
+            return
+        stored = sorted(
+            (r["file"], r["rows"], r["xor_fp"], r["sum_fp"])
+            for r in self.spark.read.parquet(lpath).collect()
+        )
+        current = self._lineage_rows(df)
+        if stored != current:
+            raise RuntimeError(
+                f"checkpoint lineage mismatch for stage {stage!r} at "
+                f"{self._path(stage)}: persisted {len(stored)} file "
+                f"fingerprints, recomputed {len(current)} "
+                f"(first diff: {next((a, b) for a, b in zip(stored, current) if a != b) if len(stored) == len(current) else 'file-set changed'}). "
+                f"Delete the stage directory to rebuild."
+            )
+        self.metrics.add(stage, "lineage_verified", 1)
+
+    def read_lineage(self, stage: str) -> DataFrame | None:
+        lpath = self._lineage_path(stage)
+        if not os.path.exists(os.path.join(lpath, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(lpath)
+
     def _persisted_stage_metrics(self, stage: str) -> list[tuple[str, float]]:
         """Metrics persisted by a PREVIOUS run's write_metrics. Observed
         counters (Dataset.observe + add_lazy) never fire on a resumed
@@ -131,6 +212,7 @@ class StageCheckpointer:
         if self.has(name):
             df = self.spark.read.parquet(self._path(name))
             self.metrics.add(name, "resumed", 1)
+            self._verify_lineage(name, df)
             # `reload_metrics` names metric-stages whose counters were
             # observed while BUILDING this stage (e.g. "dissect" rides
             # the "survivors" build) — they never fire on resume.
@@ -143,6 +225,8 @@ class StageCheckpointer:
         if self.base:
             df.write.mode("overwrite").parquet(self._path(name))
             df = self.spark.read.parquet(self._path(name))
+            if self.cfg.lineage:
+                self._write_lineage(name, df)
         elif not fuse:
             df = df.localCheckpoint(eager=True)
         self.metrics.add(name, "seconds", time.monotonic() - t0)

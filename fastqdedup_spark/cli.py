@@ -5,8 +5,10 @@ Mirrors the reference's argparse surface
 code domain: input table, distance/threshold knobs, dissection method,
 plus the graft's shingle/signature/band and checkpoint knobs.
 
-Usage:
-    spark-submit --py-files fastqdedup_spark.zip -m fastqdedup_spark.cli \
+Usage (zip built by scripts/make_pyfiles.py; smoke-tested end-to-end in
+tests/test_spark_submit.py):
+    spark-submit --master <cluster> --py-files dist/fastqdedup_spark.zip \
+        scripts/submit_main.py \
         --input /data/files --output /data/deduped \
         --shingle-k 7 --num-perm 256 --bands 32 --threshold 0.8 \
         --cluster-dissection canonical --checkpoint-dir /data/ck
@@ -75,6 +77,10 @@ def argument_parser() -> argparse.ArgumentParser:
                         "task slots — each Arrow task is a python worker plus "
                         "a JVM serialization thread)")
     p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--no-lineage", action="store_false", dest="lineage",
+                   help="skip per-partition-file lineage fingerprints on "
+                        "durable stages (saves one scan per stage write; "
+                        "resumes are no longer content-verified)")
     p.add_argument("--master", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
     return p
@@ -187,6 +193,7 @@ def main(argv: list[str] | None = None) -> None:
         est_broadcast={"auto": None, "on": True, "off": False}[args.est_broadcast],
         python_stage_partitions=args.python_stage_partitions,
         checkpoint_dir=args.checkpoint_dir,
+        lineage=args.lineage,
         # bind checkpoints to THIS input: same knobs + different data
         # must never resume from a previous dataset's stages
         input_id=input_fingerprint(args.input, spark) if args.checkpoint_dir else "",

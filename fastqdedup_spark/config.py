@@ -176,6 +176,12 @@ class DedupConfig:
     est_autoaccept: bool = False
     # -- execution ----------------------------------------------------------
     checkpoint_dir: str = ""        # empty = localCheckpoint only, no resume
+    # per-partition-file lineage fingerprints on durable stages: written
+    # with each stage (one map-side-combine scan, one row out per part
+    # file), re-derived and compared on every resume so a corrupted or
+    # half-overwritten stage fails loudly instead of flowing downstream.
+    # The write-side scan is the cost knob at very large stage sizes.
+    lineage: bool = True
     input_id: str = ""              # identifies the INPUT dataset (path + cheap
                                     # fingerprint); folded into config_hash so a
                                     # rerun on different data never resumes from

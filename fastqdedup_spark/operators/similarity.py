@@ -210,6 +210,97 @@ def cosine_dup_pairs(
     return _pairwise_cosine_filter(candidates, vecs, threshold, id_col, vec_col)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_list: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-Flat ANN: a coarse quantizer partitions the corpus into
+    `n_list` disjoint inverted lists; each query probes only its
+    `n_probe` nearest lists and reranks exactly inside them. The
+    second scale path next to `lsh_topk` — where LSH recall comes from
+    redundant tables, IVF recall comes from probing more lists, and the
+    lists are DISJOINT so candidates never need a dedup pass.
+
+    Centroids are a deterministic pseudo-random corpus sample: the
+    `n_list` vectors with the smallest Knuth multiplicative hash of
+    their id ((id * 2654435761) mod 2^31, ties by id). No k-means
+    training round: random-sample centroids are the classic IVF
+    bootstrap, fully reproducible, and — unlike seeded k-means —
+    exactly replicable by a SQL oracle (q22 recomputes the whole
+    algorithm in DuckDB, like q17 does for hyperplane LSH).
+
+    100 TB shape: the coarse quantizer is definitionally tiny
+    (n_list centroid vectors -> one broadcast); corpus assignment is
+    one Arrow BLAS pass with NO shuffle; the candidate join broadcasts
+    the exploded query-probe block, so the corpus is never exchanged.
+    In production the assigned corpus is written partitioned by
+    `list_id`, and the probe join prunes file scans to the probed
+    lists — assignment cost is paid once per corpus, probing reads
+    n_probe/n_list of the data."""
+    knuth = (F.col(id_col) * F.lit(2654435761)) % F.lit(2147483647)
+    crows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(knuth.asc(), F.col(id_col).asc())
+        .limit(n_list)
+        .collect()
+    )
+    # sorted by centroid id so numpy argmax (first max wins) matches the
+    # oracle's ORDER BY score DESC, cid ASC tie-break
+    crows.sort(key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([r[1] for r in crows], dtype=np.float64)
+    cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, cnorm))
+
+    @F.pandas_udf(T.LongType())
+    def assign(vs: pd.Series) -> pd.Series:
+        ids_l, cn = bc.value
+        m = np.array(vs.tolist(), dtype=np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(ids_l[np.argmax(mn @ cn.T, axis=1)])
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probe(vs: pd.Series) -> pd.Series:
+        ids_l, cn = bc.value
+        m = np.array(vs.tolist(), dtype=np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        s = mn @ cn.T  # (batch, n_list)
+        nb = min(n_probe, len(ids_l))
+        # top-n_probe lists, desc score / asc centroid id tie-break
+        order = np.lexsort((np.broadcast_to(ids_l, s.shape), -s), axis=1)
+        return pd.Series(list(ids_l[order[:, :nb]]))
+
+    # double-cast before the JVM rerank so zip_with products are f64,
+    # matching the oracle's ::DOUBLE[] arithmetic
+    assigned = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("cvec")
+    ).withColumn("list_id", assign("cvec"))
+    probes = queries.select(
+        query_id_col, F.col(vec_col).cast("array<double>").alias("qvec")
+    ).withColumn("list_id", F.explode(probe("qvec")))
+    joined = assigned.join(F.broadcast(probes), "list_id").withColumn(
+        "score", cosine_expr("cvec", "qvec")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "list_id",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
 def _hyperplanes(
     dim: int, n_bits: int, seed: int, kind: str = "gaussian"
 ) -> np.ndarray:

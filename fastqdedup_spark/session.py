@@ -19,7 +19,12 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    # Under spark-submit the gateway JVM already carries --master (the
+    # PythonRunner launches this process with PYSPARK_GATEWAY_PORT set);
+    # forcing a local[] default there would silently override the
+    # cluster master. Only default when we own the JVM launch.
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        master = f"local[{cpus}]"
     # Throughput GC for a batch engine: G1's pause-target heuristics
     # cost ~25% wall on the fused pipeline at width 32 (measured,
     # BASELINE.md round 5: 50.6 -> 40.0 s at 192k files, 8 GB heap;
@@ -30,14 +35,21 @@ def get_spark(
     opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
     if "GC" not in opts:
         os.environ["SPARK_SUBMIT_OPTS"] = f"{opts} -XX:+UseParallelGC".strip()
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and master is not None:
         # local[N] → N; on a real cluster this would be ~2x total executor cores
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = cpus if n in ("", "*") else int(n)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        # submit mode without an explicit count: defer to the cluster's
+        # spark.sql.shuffle.partitions (AQE coalesces the excess anyway)
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -94,6 +94,60 @@ def test_lsh_topk_multi_probe_recall(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
 
 
+def test_ivf_topk_exhaustive_matches_brute_force(spark, vectors):
+    """n_probe = n_list probes every inverted list, so IVF must equal
+    the exact brute-force top-k — neighbor ids AND ranks."""
+    from fastqdedup_spark.operators.similarity import ivf_topk
+
+    queries = vectors.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(vectors, queries, k=5)
+    ivf = ivf_topk(vectors, queries, k=5, n_list=8, n_probe=8)
+    e = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    i = {(r.query_id, r.vec_id, r.rank) for r in ivf.collect()}
+    assert i == e
+
+
+def test_ivf_topk_probe_knob_recall(spark):
+    """On a clustered-family corpus (the ANN regime), n_probe is the
+    recall knob: 4-of-16 lists reaches >= 0.9 recall of the exact
+    top-3, 1-of-16 strictly less; a vector lands in exactly ONE list
+    (disjoint inverted lists -> no dedup pass), and the whole operator
+    is deterministic across runs (sample centroids, no k-means)."""
+    from fastqdedup_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for fam in range(40):
+        center = rng.standard_normal(16)
+        for j in range(4):
+            v = center + rng.standard_normal(16) * 0.05
+            rows.append((fam * 10 + j, v.tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") % 10 == 0).limit(15).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(corpus, queries, k=3).collect()}
+    wide_rows = ivf_topk(corpus, queries, k=3, n_list=16, n_probe=4).collect()
+    wide = {(r.query_id, r.vec_id) for r in wide_rows}
+    narrow = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(corpus, queries, k=3, n_list=16, n_probe=1).collect()
+    }
+    assert len(exact & wide) / len(exact) >= 0.9
+    assert len(exact & wide) > len(exact & narrow)
+    # a neighbor's list assignment is query-independent: the same
+    # vec_id always reports the same list_id
+    lists = {}
+    for r in wide_rows:
+        assert lists.setdefault(r.vec_id, r.list_id) == r.list_id
+    # deterministic across runs
+    rerun = {
+        (r.query_id, r.vec_id, r.list_id, r.rank)
+        for r in ivf_topk(corpus, queries, k=3, n_list=16, n_probe=4).collect()
+    }
+    assert rerun == {(r.query_id, r.vec_id, r.list_id, r.rank) for r in wide_rows}
+
+
 def test_cosine_dup_pairs_bucketed_matches_exact(spark):
     """VERDICT r1 #2: the default (bucketed, no driver collect) path
     must find the same pair set as the exact broadcast matmul on a
