@@ -156,6 +156,17 @@ class DedupConfig:
     # 768k files at 32 partitions; 8g does not) or set "" / "merge"
     # when memory is the binding constraint.
     band_join_hint: str = "shuffle_hash"
+    # CAPPED band self-joins consume the band-size window's band_hash
+    # exchange directly (AQE reuses one fat shuffle for both sides;
+    # the bucket salt _v stays in the JOIN KEY, not the partitioning) —
+    # at 768k/32c the replaced salt repartitions wrote 2.66 GB, half
+    # the pair stage's shuffle traffic. Requires
+    # spark.sql.requireAllClusterKeysForCoPartition=false (get_spark
+    # sets it); on sessions without it the plan silently degrades to
+    # per-side ENSURE exchanges == the legacy shape, never wrong
+    # results. False = always repartition both sides explicitly
+    # (legacy; uncapped exact schemes always do regardless).
+    copartition_pairs: bool = True
     # OPT-IN speed knob: accept candidate pairs whose estimated Jaccard
     # clears threshold + est_margin WITHOUT exact re-verification (the
     # borderline band [thr - margin, thr + margin) still verifies

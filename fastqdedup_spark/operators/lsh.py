@@ -72,21 +72,7 @@ def _pairs_from_bands(
         F.max("band_size").alias("max_band_size"),
         capped_expr.alias("capped_bands"),
     )
-    # Band sizes attach via a count-over-partition WINDOW on the same
-    # hash partitioning the self-join needs: no sizes join, no broadcast
-    # of a corpus-scaled band table (one row per distinct band does not
-    # broadcast at 100 TB).
-    from pyspark.sql import Window
-
     npart = cfg.pair_partitions or bands.sparkSession.sparkContext.defaultParallelism
-    w = Window.partitionBy("band_hash")
-    kept = (
-        bands.repartition(npart, "band_hash")
-        .withColumn("band_size", F.count(F.lit(1)).over(w))
-        .filter(F.col("band_size") > 1)
-    )
-    if cap is not None:
-        kept = kept.filter(F.col("band_size") <= cap)
     # SIZE-ADAPTIVE bucket-pair salting (north_rule skew handling): a
     # band with f members emits f^2/2 pairs in ONE reducer under a plain
     # self-join, and even sub-cap bands straggle when several hash into
@@ -97,10 +83,7 @@ def _pairs_from_bands(
     # key (band, bucket) spreads the band over S granules of at most
     # ~pairs_per_task output each — uniform task heights regardless of
     # the band-size distribution, exact coverage for any S. Most bands
-    # get S=1 (no replication). The explicit repartition on the join
-    # key pins the stage at full parallelism (user repartitions are
-    # exempt from AQE byte-based coalescing, which would starve the
-    # quadratic-OUTPUT stage down to a few tasks by INPUT bytes).
+    # get S=1 (no replication).
     s_expr = F.least(
         F.greatest(
             F.ceil(F.col("band_size") * F.col("band_size") / F.lit(cfg.pairs_per_task)),
@@ -108,22 +91,81 @@ def _pairs_from_bands(
         ),
         F.lit(4096),
     ).cast("int")
-    kept = kept.withColumn("_s", s_expr)
     pay = payload_cols or []
-    left = (
-        kept.select(
+    if cap is not None and cfg.copartition_pairs:
+        # CAPPED schemes (MinHash), windowless CO-PARTITIONED shape: the
+        # payload-fat band table crosses the wire ONCE. Band sizes come
+        # from a THIN aggregate (band_hash-only shuffle, map-side
+        # combine) instead of a count-over-partition window on the fat
+        # table, and attach via a co-partitioned shuffled-hash join that
+        # pipelines inside the pair stage — no sort anywhere, so the
+        # stage's task memory holds only hash builds, not two window
+        # sorts (the window-based copart variant was measured 1.5-2x
+        # WORSE than legacy at 768k/32c: gcT 589-1492 core-s from the
+        # merged sorts+build+distinct lifetime; BASELINE.md round 5).
+        # The salt stays in the JOIN KEY while both sides keep the
+        # band_hash-only partitioning — with
+        # spark.sql.requireAllClusterKeysForCoPartition=false (get_spark
+        # sets it) EnsureRequirements accepts the coarser clustering, so
+        # AQE reuses ONE fat exchange for both sides (the legacy path's
+        # two per-side salt repartitions wrote 2.66 GB at 768k/32c —
+        # half the stage's shuffle traffic — for zero distribution
+        # benefit: _v is constant 0 for the S=1 bands carrying ~all
+        # rows). A whole band's granules now live in one task, bounded
+        # by cap^2/2 <= ~2 x pairs_per_task of emission work.
+        keep_sizes = sizes.filter(
+            (F.col("band_size") > 1) & (F.col("band_size") <= cap)
+        ).withColumn("_s", s_expr).select("band_hash", "_s").repartition(
+            npart, "band_hash"
+        )
+        fat = bands.repartition(npart, "band_hash").join(
+            keep_sizes.hint("shuffle_hash"), "band_hash"
+        )
+        left = fat.select(
             "band_hash", "_s", F.col(id_col).alias("id_a"),
             *[F.col(c).alias(f"{c}_a") for c in pay],
+        ).withColumn("_v", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+        right = fat.select(
+            "band_hash",
+            F.col(id_col).alias("id_b"),
+            F.pmod(F.xxhash64(id_col), F.col("_s")).cast("int").alias("_v"),
+            *[F.col(c).alias(f"{c}_b") for c in pay],
         )
-        .withColumn("_v", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
-        .repartition(npart, "band_hash", "_v")
-    )
-    right = kept.select(
-        "band_hash",
-        F.col(id_col).alias("id_b"),
-        F.pmod(F.xxhash64(id_col), F.col("_s")).alias("_v"),
-        *[F.col(c).alias(f"{c}_b") for c in pay],
-    ).repartition(npart, "band_hash", "_v")
+    else:
+        # UNCAPPED exact schemes (pigeonhole/deletion) and the legacy
+        # knob: band sizes attach via a count-over-partition WINDOW on
+        # the same hash partitioning the self-join needs (no sizes
+        # join, no broadcast of a corpus-scaled band table), and both
+        # sides repartition EXPLICITLY on the salted key — an exact
+        # scheme's oversized bands are unbounded, and spreading one
+        # band's S granules ACROSS tasks is the point. The explicit
+        # repartition also pins the stage at full parallelism (user
+        # repartitions are exempt from AQE byte-based coalescing, which
+        # would starve the quadratic-OUTPUT stage down to a few tasks
+        # by INPUT bytes).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_hash")
+        kept = (
+            bands.repartition(npart, "band_hash")
+            .withColumn("band_size", F.count(F.lit(1)).over(w))
+            .filter(F.col("band_size") > 1)
+        )
+        if cap is not None:
+            kept = kept.filter(F.col("band_size") <= cap)
+        kept = kept.withColumn("_s", s_expr)
+        left = kept.select(
+            "band_hash", "_s", F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in pay],
+        ).withColumn(
+            "_v", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        ).repartition(npart, "band_hash", "_v")
+        right = kept.select(
+            "band_hash",
+            F.col(id_col).alias("id_b"),
+            F.pmod(F.xxhash64(id_col), F.col("_s")).cast("int").alias("_v"),
+            *[F.col(c).alias(f"{c}_b") for c in pay],
+        ).repartition(npart, "band_hash", "_v")
     # Pin the co-located SHUFFLED HASH join (both sides are already
     # repartitioned on the join key). Without the hint, AQE converts
     # this to a broadcast join whenever the sampled corpus fits the

@@ -27,8 +27,13 @@ def main():
     spark = get_spark_ui(cores)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = DedupConfig(
-        shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
-        est_transport=os.environ.get("FASTQDEDUP_EST_TRANSPORT", "probe"),
+        shingle_k=7, bands=32, jaccard_threshold=0.6,
+        # shipped sketch size by default (256 bins / 8 carried longs per
+        # side); the round-5 published probes predate the 256 adoption
+        # and ran with FASTQDEDUP_NUM_PERM=128
+        num_perm=int(os.environ.get("FASTQDEDUP_NUM_PERM", "256")),
+        est_transport=os.environ.get("FASTQDEDUP_EST_TRANSPORT", "carry"),
+        copartition_pairs=os.environ.get("FASTQDEDUP_COPART", "1") == "1",
     )
     files = generate_files(spark, n_files, seed=42).localCheckpoint(eager=True)
     base = with_sha256(files)
@@ -52,7 +57,11 @@ def main():
     wall = time.monotonic() - t0
     print(json.dumps({"cores": cores, "n_pairs": n_pairs,
                       "pair_wall": round(wall, 2), "load": round(l0, 1),
-                      "load_after": round(os.getloadavg()[0], 1)}), flush=True)
+                      "load_after": round(os.getloadavg()[0], 1),
+                      "heap": os.environ.get("SPARK_DRIVER_MEMORY", "default"),
+                      "num_perm": cfg.num_perm,
+                      "copart": cfg.copartition_pairs,
+                      "transport": cfg.est_transport}), flush=True)
     for s in rest(f"/applications/{app_id}/stages?status=complete"):
         if s["stageId"] in before:
             continue

@@ -25,20 +25,29 @@ from pyspark.sql import SparkSession
 
 
 def get_spark_ui(cores: int) -> SparkSession:
-    return (
+    # optional off-heap execution memory (e.g. SPARK_OFFHEAP=8g):
+    # tungsten hash builds / sorts allocate via Unsafe instead of
+    # on-heap long[] pages, taking them out of GC entirely
+    offheap = os.environ.get("SPARK_OFFHEAP", "")
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName("stage-probe")
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .getOrCreate()
     )
+    if offheap:
+        b = b.config("spark.memory.offHeap.enabled", "true").config(
+            "spark.memory.offHeap.size", offheap
+        )
+    return b.getOrCreate()
 
 
 def rest(path: str):

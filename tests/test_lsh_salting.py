@@ -40,6 +40,39 @@ def test_salting_handles_all_pairs_across_buckets(spark):
     assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
 
 
+def test_copartitioned_band_join_single_exchange(spark):
+    """Capped schemes join CO-PARTITIONED on band_hash with the bucket
+    salt _v in the JOIN KEY only: the executed plan must contain NO
+    exchange keyed on _v (the payload-fat band table crosses the wire
+    once; sizes travel on a thin band_hash-only shuffle), no sort (the
+    windowless sizes join replaced the window), and the second side
+    must reuse the first side's exchanges. The legacy path
+    (copartition_pairs=False) must produce the identical pair set
+    through its two explicit salt repartitions."""
+    bands = _band_rows(spark, [(1, 60), (2, 3), (4, 40)])
+    cfg = DedupConfig(pairs_per_task=300, band_freq_cap=100)  # S>1 for bands 1,4
+    legacy_cfg = DedupConfig(
+        pairs_per_task=300, band_freq_cap=100, copartition_pairs=False
+    )
+    pairs, _ = _pairs_from_bands(bands, "key", cfg, cap=cfg.band_freq_cap)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    legacy, _ = _pairs_from_bands(
+        bands, "key", legacy_cfg, cap=legacy_cfg.band_freq_cap
+    )
+    assert got == {(r.id_a, r.id_b) for r in legacy.collect()}
+    assert len(got) == 60 * 59 // 2 + 3 + 40 * 39 // 2
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the adaptive dump appends the pre-execution "Initial Plan" (which
+    # always shows both exchanges) — assert on the executed Final Plan
+    plan = plan.split("== Initial Plan ==")[0]
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\([^)]*_v", plan), plan
+    assert plan.count("ReusedExchange") >= 2, plan
+    assert "Window" not in plan and not re.search(r"\bSort\b", plan), plan
+
+
 def test_exact_schemes_never_capped(spark):
     """ADVICE r1 (high): pigeonhole/deletion banding documents recall
     1.0 — a band above band_freq_cap must be SALTED, not dropped. With
