@@ -93,6 +93,16 @@ def _pairs_from_bands(
     ).cast("int")
     pay = payload_cols or []
     if cap is not None and cfg.copartition_pairs:
+        # The single-fat-exchange shape below needs the coarser-clustering
+        # co-partitioning rule. get_spark pins it at session build, but
+        # callers may hand us a foreign session (the correctness driver
+        # does); it is a runtime SQL conf, so set it here — without it
+        # the plan is still CORRECT, just re-shuffles the fat table per
+        # side, which is exactly the 2.66 GB regression copart exists to
+        # remove.
+        bands.sparkSession.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "false"
+        )
         # CAPPED schemes (MinHash), windowless CO-PARTITIONED shape: the
         # payload-fat band table crosses the wire ONCE. Band sizes come
         # from a THIN aggregate (band_hash-only shuffle, map-side
