@@ -156,17 +156,25 @@ class DedupConfig:
     # 768k files at 32 partitions; 8g does not) or set "" / "merge"
     # when memory is the binding constraint.
     band_join_hint: str = "shuffle_hash"
-    # CAPPED band self-joins consume the band-size window's band_hash
-    # exchange directly (AQE reuses one fat shuffle for both sides;
-    # the bucket salt _v stays in the JOIN KEY, not the partitioning) —
-    # at 768k/32c the replaced salt repartitions wrote 2.66 GB, half
-    # the pair stage's shuffle traffic. Requires
-    # spark.sql.requireAllClusterKeysForCoPartition=false (get_spark
-    # sets it); on sessions without it the plan silently degrades to
-    # per-side ENSURE exchanges == the legacy shape, never wrong
-    # results. False = always repartition both sides explicitly
-    # (legacy; uncapped exact schemes always do regardless).
-    copartition_pairs: bool = True
+    # CAPPED band self-joins: True consumes ONE band_hash exchange for
+    # both join sides (the bucket salt _v stays in the JOIN KEY, not
+    # the partitioning; spark.sql.requireAllClusterKeysForCoPartition
+    # =false is set by the operator) — at 768k/32c the replaced salt
+    # repartitions wrote 2.66 GB, half the pair stage's shuffle
+    # traffic. False (DEFAULT) repartitions both sides explicitly on
+    # the salted key (uncapped exact schemes always do regardless).
+    # The default is the measured single-box winner: a same-JVM
+    # interleaved A/B at 768k files / 32 cores (scripts/knob_ab.py,
+    # both arm orders, BASELINE.md round 5) put the co-partitioned
+    # shape ~20-30 s (~30%) SLOWER per run — locally a shuffle is a
+    # page-cache copy, so halving exchange bytes buys little, while
+    # fusing both sides' hash builds + the est eval + the partial
+    # distinct into one task lifetime pressures execution memory. On
+    # a REAL multi-node cluster the same bytes cross a network, so
+    # flip this True when the exchange fabric, not executor memory,
+    # is the binding constraint — the plan is pinned either way and
+    # produces identical pairs (tests/test_lsh_salting.py).
+    copartition_pairs: bool = False
     # OPT-IN speed knob: accept candidate pairs whose estimated Jaccard
     # clears threshold + est_margin WITHOUT exact re-verification (the
     # borderline band [thr - margin, thr + margin) still verifies

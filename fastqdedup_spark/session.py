@@ -75,10 +75,13 @@ def get_spark(
         # ~380-530 -> 64 (legacy) with identical output. The size is a
         # cap, not a reservation; the on-heap heap can stay moderate
         # (big heaps were a measured width tax).
-        .config("spark.memory.offHeap.enabled", "true")
+        .config(
+            "spark.memory.offHeap.enabled",
+            "false" if os.environ.get("SPARK_GRAFT_OFFHEAP") == "0" else "true",
+        )
         .config(
             "spark.memory.offHeap.size",
-            os.environ.get("SPARK_GRAFT_OFFHEAP", "8g"),
+            os.environ.get("SPARK_GRAFT_OFFHEAP", "8g") or "8g",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

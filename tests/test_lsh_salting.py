@@ -50,7 +50,9 @@ def test_copartitioned_band_join_single_exchange(spark):
     (copartition_pairs=False) must produce the identical pair set
     through its two explicit salt repartitions."""
     bands = _band_rows(spark, [(1, 60), (2, 3), (4, 40)])
-    cfg = DedupConfig(pairs_per_task=300, band_freq_cap=100)  # S>1 for bands 1,4
+    cfg = DedupConfig(
+        pairs_per_task=300, band_freq_cap=100, copartition_pairs=True
+    )  # S>1 for bands 1,4; copart opted in (cluster-scale knob, off by default)
     legacy_cfg = DedupConfig(
         pairs_per_task=300, band_freq_cap=100, copartition_pairs=False
     )
