@@ -75,6 +75,25 @@ def test_copartitioned_band_join_single_exchange(spark):
     assert "Window" not in plan and not re.search(r"\bSort\b", plan), plan
 
 
+def test_default_band_join_uses_salted_exchanges(spark):
+    """The DEFAULT capped-scheme plan is the legacy shape: both sides
+    repartitioned explicitly on the salted (band_hash, _v) key — the
+    measured single-box winner (scripts/knob_ab.py, BASELINE.md round
+    5: co-partitioning was ~30% slower end-to-end at 768k/32c). This
+    pins the default so a future copart re-adoption must be explicit
+    (and re-measured)."""
+    bands = _band_rows(spark, [(1, 60), (4, 40)])
+    cfg = DedupConfig(pairs_per_task=300, band_freq_cap=100)
+    assert not cfg.copartition_pairs
+    pairs, _ = _pairs_from_bands(bands, "key", cfg, cap=cfg.band_freq_cap)
+    pairs.collect()
+    import re
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert re.search(r"Exchange hashpartitioning\([^)]*_v", plan), plan
+
+
 def test_exact_schemes_never_capped(spark):
     """ADVICE r1 (high): pigeonhole/deletion banding documents recall
     1.0 — a band above band_freq_cap must be SALTED, not dropped. With
