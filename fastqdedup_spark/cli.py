@@ -67,6 +67,12 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="how candidate pairs meet their est sketches: probe "
                         "per-id sketch tables, or carry sig_packed through "
                         "the band shuffle (zero per-pair hash probes)")
+    p.add_argument("--copartition-pairs", action="store_true",
+                   help="capped band self-joins reuse ONE band_hash "
+                        "exchange for both sides (halves the pair "
+                        "stage's shuffle bytes; for multi-node clusters "
+                        "where the exchange crosses a network — measured "
+                        "~30%% slower on a single box, so off by default)")
     p.add_argument("--est-broadcast", default="auto",
                    choices=["auto", "on", "off"],
                    help="broadcast sketch/size metadata tables into the "
@@ -190,6 +196,7 @@ def main(argv: list[str] | None = None) -> None:
         strip_boilerplate_frac=args.strip_boilerplate,
         est_autoaccept=args.est_autoaccept,
         est_transport=args.est_transport,
+        copartition_pairs=args.copartition_pairs,
         est_broadcast={"auto": None, "on": True, "off": False}[args.est_broadcast],
         python_stage_partitions=args.python_stage_partitions,
         checkpoint_dir=args.checkpoint_dir,
