@@ -60,6 +60,15 @@ class DedupConfig:
     # any band-size distribution)
     pairs_per_task: int = 2_000_000
     pair_partitions: int = 0        # 0 = defaultParallelism
+    # incremental mode (incremental.py): increments with at most this
+    # many DISTINCT new contents stream the retained index through
+    # broadcast hash joins (zero exchanges of old data). Sized by the
+    # broadcast payload: bands explode to cfg.bands rows/doc of
+    # (8B hash + 16B id + sketch longs) ~ 2.5 KB/doc at the defaults,
+    # so 1M distinct contents ~ 2.5 GB driver+executor resident — the
+    # practical ceiling for a 8-16 GB executor. Bigger increments
+    # degrade to the shuffled band equi-join automatically.
+    incremental_broadcast_max_rows: int = 1_000_000
     # Arrow/python stage task count (OPH signer mapInPandas, exact-
     # Jaccard verify): 0 = AUTO, half of defaultParallelism. Each
     # concurrent Arrow task costs a python worker PLUS a JVM

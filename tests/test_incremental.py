@@ -1,0 +1,242 @@
+"""Incremental-dedup contract (incremental.py module docstring):
+
+tier 1  exact sha vs everything ever seen,
+tier 2  Jaccard >= threshold vs index SURVIVORS only,
+tier 3  full batch pipeline among the remainder,
+index appends idempotent, reruns bit-identical, model drift refused —
+all pinned against a pure-Python oracle implementing the same
+three-tier semantics from first principles (hashlib + shingle sets +
+union-find), and the broadcast/shuffled band-join paths must agree.
+"""
+
+import hashlib
+import os
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastqdedup_spark.config import DedupConfig
+from fastqdedup_spark.corpus import generate_files
+from fastqdedup_spark.functions.minhash import shingle_set
+from fastqdedup_spark.incremental import (
+    DedupIndex,
+    build_index,
+    cross_candidate_pairs,
+    dedup_files_incremental,
+)
+from fastqdedup_spark.oracle import _UnionFind
+
+CFG = DedupConfig(
+    shingle_k=7, jaccard_threshold=0.8, dissection="canonical"
+)
+N_FILES = 600
+
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def _sha(text: str) -> str:
+    return hashlib.sha256(text.encode()).hexdigest()
+
+
+def _jac(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def _batch_oracle(contents: list[str], k: int, thr: float) -> set:
+    """Batch dedup oracle (canonical dissection): distinct contents,
+    union-find over exact-Jaccard edges, min-sha survivor per cluster."""
+    distinct = sorted({c for c in contents})
+    shas = [_sha(c) for c in distinct]
+    sh = [shingle_set(_norm(c), k) for c in distinct]
+    uf = _UnionFind(len(distinct))
+    for i in range(len(distinct)):
+        for j in range(i + 1, len(distinct)):
+            if _jac(sh[i], sh[j]) >= thr:
+                uf.union(i, j)
+    clusters: dict[int, list[str]] = {}
+    for i, s in enumerate(shas):
+        clusters.setdefault(uf.find(i), []).append(s)
+    return {min(members) for members in clusters.values()}
+
+
+def _incremental_oracle(
+    old_contents: list[str], new_contents: list[str], k: int, thr: float
+):
+    """Returns (dropped_exact, dropped_near, kept) as sha sets over the
+    DISTINCT new contents (file-level mapping is 1:sha here)."""
+    old_all = {_sha(c) for c in old_contents}
+    old_surv_shas = _batch_oracle(old_contents, k, thr)
+    by_sha = {_sha(c): c for c in old_contents}
+    old_surv_shingles = [shingle_set(_norm(by_sha[s]), k) for s in old_surv_shas]
+
+    new_distinct = sorted({c for c in new_contents})
+    t1 = {_sha(c) for c in new_distinct if _sha(c) in old_all}
+    fresh = [c for c in new_distinct if _sha(c) not in old_all]
+    t2 = {
+        _sha(c)
+        for c in fresh
+        if any(_jac(shingle_set(_norm(c), k), s) >= thr for s in old_surv_shingles)
+    }
+    remainder = [c for c in fresh if _sha(c) not in t2]
+    kept = _batch_oracle(remainder, k, thr)
+    return t1, t2, kept
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_files(spark, N_FILES, seed=11).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def split(corpus):
+    old = corpus.filter(F.crc32(F.col("path")) % 3 != 0)
+    new = corpus.filter(F.crc32(F.col("path")) % 3 == 0)
+    return old, new
+
+
+@pytest.fixture(scope="module")
+def built(spark, split, tmp_path_factory):
+    old, _ = split
+    path = str(tmp_path_factory.mktemp("incr") / "ix")
+    res, idx = build_index(spark, old, CFG, path, quality=False)
+    return res, idx
+
+
+def test_incremental_matches_python_oracle(spark, split, built):
+    old, new = split
+    _, idx = built
+    inc = dedup_files_incremental(
+        spark, new, CFG, idx, quality=False, update_index=False
+    )
+    old_contents = [r["content"] for r in old.select("content").collect()]
+    new_contents = [r["content"] for r in new.select("content").collect()]
+    t1, t2, kept = _incremental_oracle(
+        old_contents, new_contents, CFG.shingle_k, CFG.jaccard_threshold
+    )
+    got_t1 = {r["sha"] for r in inc.dropped_exact.select("sha").collect()}
+    got_t2 = {r["sha"] for r in inc.dropped_near.select("sha").collect()}
+    got_kept = {r["sha"] for r in inc.deduped.select("sha").collect()}
+    assert got_t1 == t1
+    assert got_t2 == t2
+    assert got_kept == kept
+    # every tier produced work (otherwise the oracle equality is vacuous)
+    assert t1 and t2 and kept
+
+
+def test_batch_oracle_matches_build(split, built):
+    old, _ = split
+    res, _ = built
+    old_contents = [r["content"] for r in old.select("content").collect()]
+    want = _batch_oracle(old_contents, CFG.shingle_k, CFG.jaccard_threshold)
+    got = {r["key"] for r in res.survivors.select("key").collect()}
+    assert got == want
+
+
+def test_rerun_same_batch_is_bit_identical(spark, split, tmp_path):
+    """Crash-after-append resume: the second run of batch id b must see
+    the index exactly as the first run did (its own appended state is
+    excluded from reads) and reproduce the same output."""
+    old, new = split
+    _, idx = build_index(spark, old, CFG, str(tmp_path / "ix"), quality=False)
+    one = dedup_files_incremental(spark, new, CFG, idx, quality=False, batch_id="b1")
+    two = dedup_files_incremental(spark, new, CFG, idx, quality=False, batch_id="b1")
+    k1 = sorted(r["sha"] for r in one.deduped.select("sha").collect())
+    k2 = sorted(r["sha"] for r in two.deduped.select("sha").collect())
+    assert k1 == k2 and k1
+
+
+def test_chaining_across_increments(spark, split, tmp_path):
+    """Increment 2 must dedup against increment 1's RETAINED state:
+    an exact copy of any inc-1 file dies in tier 1, and a near-dup of
+    an inc-1 survivor dies in tier 2."""
+    old, new = split
+    _, idx = build_index(spark, old, CFG, str(tmp_path / "ix"), quality=False)
+    one = dedup_files_incremental(spark, new, CFG, idx, quality=False, batch_id="b1")
+    kept1 = one.deduped
+    assert kept1.count() > 0
+    # batch 2: exact copies of inc-1 KEPT files (new paths, same content)
+    # + near-dup mutations of them (append a short token tail: >= 0.8
+    # Jaccard for the generated file sizes)
+    exact2 = kept1.select(
+        F.col("repo"), F.concat(F.col("path"), F.lit(".again")).alias("path"),
+        F.col("commit"), F.col("lang"), F.col("content"),
+    )
+    near2 = kept1.select(
+        F.col("repo"), F.concat(F.col("path"), F.lit(".near")).alias("path"),
+        F.col("commit"), F.col("lang"),
+        F.concat(F.col("content"), F.lit(" tail marker")).alias("content"),
+    )
+    two = dedup_files_incremental(
+        spark, exact2.unionByName(near2), CFG, idx, quality=False, batch_id="b2"
+    )
+    n_exact = two.dropped_exact.count()
+    n_kept1 = kept1.count()
+    assert n_exact == n_kept1  # every exact copy died in tier 1
+    # the mutated copies mostly die in tier 2 (a few fall below 0.8 for
+    # short files); none may die in tier 1
+    assert two.dropped_near.count() > 0
+    assert two.dropped_exact.join(
+        near2.select(F.sha2("content", 256).alias("sha")), "sha", "left_semi"
+    ).count() == 0
+
+
+def test_model_mismatch_refused(spark, split, tmp_path):
+    old, _ = split
+    build_index(spark, old, CFG, str(tmp_path / "ix"), quality=False)
+    other = DedupConfig(shingle_k=9, jaccard_threshold=0.8, dissection="canonical")
+    with pytest.raises(ValueError, match="different similarity model"):
+        DedupIndex(spark, str(tmp_path / "ix"), other)
+
+
+def test_strip_boilerplate_refused(spark, tmp_path):
+    cfg = DedupConfig(strip_boilerplate_frac=0.5)
+    with pytest.raises(ValueError, match="strip_boilerplate_frac"):
+        DedupIndex(spark, str(tmp_path / "ix"), cfg)
+
+
+def test_broadcast_and_shuffled_paths_agree(spark, split, built):
+    """The two physical forms of the cross band join (broadcast-new vs
+    shuffled equi-join) must emit identical candidate pairs, and the
+    broadcast form must actually broadcast the NEW side only."""
+    from fastqdedup_spark.functions.minhash import add_signature_columns, normalize_content
+
+    old, new = split
+    _, idx = built
+    new_signed = add_signature_columns(
+        new.groupBy(F.sha2("content", 256).alias("sha")).agg(
+            F.first("content").alias("content")
+        ).withColumn("content_norm", normalize_content("content")).select(
+            "sha", "content_norm"
+        ),
+        CFG,
+    ).withColumn("nid", F.unhex(F.substring("sha", 1, 32)))
+    old_signed = idx.signed_survivors()
+    bc = cross_candidate_pairs(old_signed, new_signed, CFG, broadcast_new=True)
+    sh = cross_candidate_pairs(old_signed, new_signed, CFG, broadcast_new=False)
+    got_bc = {(r["id_a"], r["id_b"]) for r in bc.collect()}
+    got_sh = {(r["id_a"], r["id_b"]) for r in sh.collect()}
+    assert got_bc == got_sh and got_bc
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no negative assert on the shuffled form: at test scale AQE
+    # rightly converts the small exchange back to a broadcast join —
+    # the point of leaving the plan to AQE on the big-increment path
+
+
+def test_index_append_idempotent(spark, split, tmp_path):
+    old, new = split
+    _, idx = build_index(spark, old, CFG, str(tmp_path / "ix"), quality=False)
+    n_f, n_s = idx.fingerprints().count(), idx.signed_survivors().count()
+    dedup_files_incremental(spark, new, CFG, idx, quality=False, batch_id="b1")
+    f1, s1 = idx.fingerprints().count(), idx.signed_survivors().count()
+    assert f1 > n_f and s1 > n_s
+    dedup_files_incremental(spark, new, CFG, idx, quality=False, batch_id="b1")
+    assert idx.fingerprints().count() == f1
+    assert idx.signed_survivors().count() == s1
+    assert os.path.exists(os.path.join(str(tmp_path / "ix"), "_meta.json"))
