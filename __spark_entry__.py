@@ -497,6 +497,120 @@ def q22_ann_ivf(spark, sf):
     )
 
 
+def _incr_new_docs(docs: DataFrame) -> DataFrame:
+    """The q23/q24 increment: for every document, one exact copy
+    (tier-1 food), one near copy (' tail marker', tier-2 food vs the
+    retained old corpus), one second-order near copy (double tail,
+    usually >= 0.8 vs the single-tail sibling but farther from the old
+    corpus — within-batch near tier), and one exact WITHIN-BATCH copy
+    of the single-tail file (+4M: same content as +2M, a fresh sha
+    shared by two batch files — first-wins inside the batch)."""
+    base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("content"))
+    single_tail = F.concat("content", F.lit(" tail marker"))
+    return (
+        base.select((F.col("id") + 1_000_000).alias("id"), "content")
+        .unionByName(
+            base.select((F.col("id") + 2_000_000).alias("id"), single_tail.alias("content"))
+        )
+        .unionByName(
+            base.select(
+                (F.col("id") + 3_000_000).alias("id"),
+                F.concat("content", F.lit(" tail marker tail marker")).alias("content"),
+            )
+        )
+        .unionByName(
+            base.select((F.col("id") + 4_000_000).alias("id"), single_tail.alias("content"))
+        )
+    )
+
+
+def q23_incremental_exact(spark, sf):
+    """Incremental dedup, exact tier (incremental.py tier 1 + the batch
+    exact tier): the old corpus is every document; the increment is
+    _incr_new_docs. Per new file: 'dup_exact' if its content was ever
+    seen, else 'kept' if it is the first-wins representative of its
+    content within the batch, else 'dup_batch'. Plan shape is the
+    module's stream-old-once form: the old fingerprint table is scanned
+    once against a broadcast of the batch's shas — the retained corpus
+    is never exchanged."""
+    docs = _t(spark, sf, "documents")
+    old_fp = docs.select(F.sha2("text", 256).alias("sha")).distinct()
+    new = _incr_new_docs(docs).withColumn("sha", F.sha2("content", 256))
+    hits = old_fp.join(F.broadcast(new.select("sha").distinct()), "sha", "left_semi")
+    rep = Window.partitionBy("sha")
+    return (
+        new.join(hits.withColumn("hit", F.lit(1)), "sha", "left")
+        .withColumn("rep_id", F.min("id").over(rep))
+        .select(
+            "id",
+            F.when(F.col("hit").isNotNull(), F.lit("dup_exact"))
+            .when(F.col("id") == F.col("rep_id"), F.lit("kept"))
+            .otherwise(F.lit("dup_batch"))
+            .alias("status"),
+        )
+        .orderBy("id")
+    )
+
+
+def q24_incremental_near_dup(spark, sf):
+    """Incremental dedup, all three tiers, through the REAL module
+    (incremental.build_index + dedup_files_incremental): index the old
+    corpus (documents as files), then dedup the _incr_new_docs batch
+    against it. Per new file: 'dup_exact' (sha seen), 'dup_near'
+    (>= 0.8 normalized 7-gram Jaccard vs an index survivor),
+    'dup_batch' (lost the within-batch recluster), or 'kept'. The
+    DuckDB oracle recomputes the ENTIRE contract from first principles:
+    sha256 fingerprints, old-corpus survivor selection (exact shingle
+    Jaccard edges + recursive-CTE closure + min-sha canonical), the
+    survivor-only tier-2 match, and the batch-side closure — so a wrong
+    tier assignment anywhere breaks the hash. LSH/est configs pinned to
+    q14's long-green 128-bin setup."""
+    import tempfile
+
+    from fastqdedup_spark.config import DedupConfig
+    from fastqdedup_spark.incremental import build_index, dedup_files_incremental
+
+    cfg = DedupConfig(
+        shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.8,
+        est_margin=0.2, dissection="canonical",
+    )
+    docs = _t(spark, sf, "documents")
+    old_files = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.md5("text").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    new_files = _incr_new_docs(docs).select(
+        "id",
+        F.lit("incr").alias("repo"),
+        F.concat(F.lit("new/"), F.col("id")).alias("path"),
+        F.md5("content").alias("commit"),
+        F.lit("und").alias("lang"),
+        "content",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _, idx = build_index(spark, old_files, cfg, f"{d}/ix", quality=False)
+        inc = dedup_files_incremental(
+            spark, new_files, cfg, idx, quality=False, update_index=False
+        )
+        parts = (
+            inc.dropped_exact.select("id", F.lit("dup_exact").alias("status"))
+            .unionByName(inc.dropped_near.select("id", F.lit("dup_near").alias("status")))
+            .unionByName(inc.deduped.select("id", F.lit("kept").alias("status")))
+        )
+        out = parts.unionByName(
+            new_files.join(parts.select("id"), "id", "left_anti").select(
+                "id", F.lit("dup_batch").alias("status")
+            )
+        ).orderBy("id")
+        # the temp index dir dies with the context manager — materialize
+        # the result rows before it does
+        return spark.createDataFrame(out.collect(), "id long, status string")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -521,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_media_features": q20_media_features,
         "q21_video_features": q21_video_features,
         "q22_ann_ivf": q22_ann_ivf,
+        "q23_incremental_exact": q23_incremental_exact,
+        "q24_incremental_near_dup": q24_incremental_near_dup,
     }
 
 
@@ -898,5 +1014,128 @@ def oracle_sql() -> dict[str, str]:
                     END AS last_band
             FROM range(48) t(i)
             ORDER BY media_id
+        """,
+        "q23_incremental_exact": """
+            WITH newd AS (
+                SELECT doc_id + 1000000 AS id, text AS content FROM documents
+                UNION ALL
+                SELECT doc_id + 2000000, text || ' tail marker' FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000, text || ' tail marker tail marker' FROM documents
+                UNION ALL
+                SELECT doc_id + 4000000, text || ' tail marker' FROM documents
+            ), rep AS (
+                SELECT id, content, min(id) OVER (PARTITION BY content) AS rep_id
+                FROM newd
+            )
+            SELECT id,
+                   CASE WHEN EXISTS (SELECT 1 FROM documents o WHERE o.text = r.content)
+                        THEN 'dup_exact'
+                        WHEN id = rep_id THEN 'kept'
+                        ELSE 'dup_batch' END AS status
+            FROM rep r
+            ORDER BY id
+        """,
+        # q24: the whole incremental three-tier contract from first
+        # principles — old-corpus fingerprints + survivor selection
+        # (exact shingle-Jaccard edges, recursive-CTE closure, min-sha
+        # canonical), survivor-only tier-2 match, batch-side closure.
+        "q24_incremental_near_dup": """
+            WITH RECURSIVE
+            old_s AS (
+                SELECT content, sha256(content) AS sha,
+                       trim(regexp_replace(lower(content), '\\s+', ' ', 'g')) AS norm
+                FROM (SELECT DISTINCT text AS content FROM documents)
+            ),
+            old_sh AS (
+                SELECT DISTINCT sha, substr(norm, i, 7) AS s
+                FROM old_s, unnest(range(1, length(norm) - 5)) AS t(i)
+            ),
+            old_sz AS (SELECT sha, count(*) AS sz FROM old_sh GROUP BY sha),
+            old_pairs AS (
+                SELECT p.a, p.b FROM (
+                    SELECT x.sha AS a, y.sha AS b, count(*) AS i
+                    FROM old_sh x JOIN old_sh y ON x.s = y.s AND x.sha < y.sha
+                    GROUP BY 1, 2
+                ) p JOIN old_sz sa ON p.a = sa.sha JOIN old_sz sb ON p.b = sb.sha
+                WHERE p.i * 1.0 / (sa.sz + sb.sz - p.i) >= 0.8
+            ),
+            old_edges AS (
+                SELECT a, b FROM old_pairs UNION ALL SELECT b, a FROM old_pairs
+            ),
+            old_reach(a, b) AS (
+                SELECT sha, sha FROM old_s
+                UNION
+                SELECT r.a, e.b FROM old_reach r JOIN old_edges e ON r.b = e.a
+            ),
+            old_surv AS (
+                SELECT DISTINCT lbl AS sha
+                FROM (SELECT a, min(b) AS lbl FROM old_reach GROUP BY a)
+            ),
+            new_s AS (
+                SELECT id, content, sha256(content) AS sha FROM (
+                    SELECT doc_id + 1000000 AS id, text AS content FROM documents
+                    UNION ALL
+                    SELECT doc_id + 2000000, text || ' tail marker' FROM documents
+                    UNION ALL
+                    SELECT doc_id + 3000000, text || ' tail marker tail marker' FROM documents
+                    UNION ALL
+                    SELECT doc_id + 4000000, text || ' tail marker' FROM documents
+                )
+            ),
+            fresh AS (
+                SELECT DISTINCT sha,
+                       trim(regexp_replace(lower(content), '\\s+', ' ', 'g')) AS norm
+                FROM new_s WHERE sha NOT IN (SELECT sha FROM old_s)
+            ),
+            fresh_sh AS (
+                SELECT DISTINCT sha, substr(norm, i, 7) AS s
+                FROM fresh, unnest(range(1, length(norm) - 5)) AS t(i)
+            ),
+            fresh_sz AS (SELECT sha, count(*) AS sz FROM fresh_sh GROUP BY sha),
+            surv_sh AS (
+                SELECT sha, s FROM old_sh WHERE sha IN (SELECT sha FROM old_surv)
+            ),
+            surv_sz AS (SELECT sha, count(*) AS sz FROM surv_sh GROUP BY sha),
+            t2 AS (
+                SELECT DISTINCT c.sha FROM (
+                    SELECT x.sha, y.sha AS osha, count(*) AS i
+                    FROM fresh_sh x JOIN surv_sh y ON x.s = y.s
+                    GROUP BY 1, 2
+                ) c JOIN fresh_sz fz ON c.sha = fz.sha
+                    JOIN surv_sz oz ON c.osha = oz.sha
+                WHERE c.i * 1.0 / (fz.sz + oz.sz - c.i) >= 0.8
+            ),
+            rem AS (SELECT sha FROM fresh WHERE sha NOT IN (SELECT sha FROM t2)),
+            rem_pairs AS (
+                SELECT p.a, p.b FROM (
+                    SELECT x.sha AS a, y.sha AS b, count(*) AS i
+                    FROM fresh_sh x JOIN fresh_sh y ON x.s = y.s AND x.sha < y.sha
+                    WHERE x.sha IN (SELECT sha FROM rem)
+                      AND y.sha IN (SELECT sha FROM rem)
+                    GROUP BY 1, 2
+                ) p JOIN fresh_sz sa ON p.a = sa.sha JOIN fresh_sz sb ON p.b = sb.sha
+                WHERE p.i * 1.0 / (sa.sz + sb.sz - p.i) >= 0.8
+            ),
+            rem_edges AS (
+                SELECT a, b FROM rem_pairs UNION ALL SELECT b, a FROM rem_pairs
+            ),
+            rem_reach(a, b) AS (
+                SELECT sha, sha FROM rem
+                UNION
+                SELECT r.a, e.b FROM rem_reach r JOIN rem_edges e ON r.b = e.a
+            ),
+            kept AS (
+                SELECT DISTINCT lbl AS sha
+                FROM (SELECT a, min(b) AS lbl FROM rem_reach GROUP BY a)
+            )
+            SELECT id,
+                   CASE WHEN sha IN (SELECT sha FROM old_s) THEN 'dup_exact'
+                        WHEN sha IN (SELECT sha FROM t2) THEN 'dup_near'
+                        WHEN sha IN (SELECT sha FROM kept)
+                             AND id = min(id) OVER (PARTITION BY sha) THEN 'kept'
+                        ELSE 'dup_batch' END AS status
+            FROM new_s
+            ORDER BY id
         """,
     }
