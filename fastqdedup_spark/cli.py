@@ -82,6 +82,21 @@ def argument_parser() -> argparse.ArgumentParser:
                    help="Arrow/python stage task count (0 = auto: half the "
                         "task slots — each Arrow task is a python worker plus "
                         "a JVM serialization thread)")
+    p.add_argument("--index", default="",
+                   help="persisted dedup-index directory (incremental mode): "
+                        "when empty it is seeded with this run's retained "
+                        "state (full batch dedup); when it already holds "
+                        "batches, the input is deduped AGAINST it — exact "
+                        "tier vs every sha ever seen, near tier vs index "
+                        "survivors, then a within-batch recluster — and only "
+                        "the kept files are written to --output")
+    p.add_argument("--index-batch-id", default="",
+                   help="explicit batch id for the --index append (default: "
+                        "derived from the input fingerprint; re-running the "
+                        "same id is an idempotent no-op append)")
+    p.add_argument("--no-update-index", action="store_false", dest="update_index",
+                   help="with --index on a non-empty index: dedup against it "
+                        "without appending this batch's retained state")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--no-lineage", action="store_false", dest="lineage",
                    help="skip per-partition-file lineage fingerprints on "
@@ -202,23 +217,64 @@ def main(argv: list[str] | None = None) -> None:
         checkpoint_dir=args.checkpoint_dir,
         lineage=args.lineage,
         # bind checkpoints to THIS input: same knobs + different data
-        # must never resume from a previous dataset's stages
-        input_id=input_fingerprint(args.input, spark) if args.checkpoint_dir else "",
+        # must never resume from a previous dataset's stages; --index
+        # batch ids derive from the same fingerprint (idempotent appends)
+        input_id=(
+            input_fingerprint(args.input, spark)
+            if (args.checkpoint_dir or args.index)
+            else ""
+        ),
     )
     t0 = time.monotonic()
     files = read_files_table(spark, args.input)
-    result = dedup_files(spark, files, cfg)
-    write_table(result.deduped, args.output)
+    if args.index:
+        from fastqdedup_spark.incremental import (
+            DedupIndex,
+            build_index,
+            dedup_files_incremental,
+        )
+
+        index = DedupIndex(spark, args.index, cfg)
+        bid = args.index_batch_id or None
+        if index.is_empty:
+            if not args.update_index:
+                raise SystemExit(
+                    "--no-update-index requires an existing index: an empty "
+                    f"--index {args.index} has nothing to dedup against"
+                )
+            result, _ = build_index(
+                spark, files, cfg, args.index,
+                batch_id=bid or "base", collect_metrics=True,
+            )
+            deduped, metrics = result.deduped, result.metrics
+            mode = "index-build"
+        else:
+            inc = dedup_files_incremental(
+                spark, files, cfg, index,
+                update_index=args.update_index, batch_id=bid,
+                collect_metrics=True,
+            )
+            deduped, metrics = inc.deduped, inc.metrics
+            mode = "index-increment"
+    else:
+        result = dedup_files(spark, files, cfg)
+        deduped, metrics = result.deduped, result.metrics
+        mode = "batch"
+    write_table(deduped, args.output)
     dt = time.monotonic() - t0
-    n = result.metrics.get("output.files", 0)
-    n_fallback = result.metrics.get("dissect.fallback_clusters", 0)
+    n = metrics.get("output.files", metrics.get("incremental.kept", 0))
+    n_fallback = metrics.get(
+        "dissect.fallback_clusters", metrics.get("batch.dissect.fallback_clusters", 0)
+    )
     if n_fallback:
         logger.warning(
             "%d cluster(s) exceeded --max-cluster-size/--max-cluster-bytes "
             "and used canonical (min-sha) survivor selection instead of %s",
             int(n_fallback), cfg.dissection,
         )
-    logger.info("deduped to %s rows in %.1fs; metrics: %s", n, dt, result.metrics)
+    logger.info(
+        "[%s] deduped to %s rows in %.1fs; metrics: %s", mode, n, dt, metrics
+    )
 
 
 if __name__ == "__main__":

@@ -191,6 +191,12 @@ class DedupIndex:
             raise ValueError(f"empty index at {self.path}: run build_index first")
         return self.spark.read.parquet(*dirs)
 
+    @property
+    def is_empty(self) -> bool:
+        """True until the first completed (_SUCCESS-marked) batch lands —
+        the CLI's build-vs-increment dispatch."""
+        return not self._batches("fingerprints")
+
     def has_batch(self, batch_id: str) -> bool:
         return os.path.exists(
             os.path.join(self.path, "index", batch_id, "_SUCCESS")

@@ -240,3 +240,44 @@ def test_index_append_idempotent(spark, split, tmp_path):
     assert idx.fingerprints().count() == f1
     assert idx.signed_survivors().count() == s1
     assert os.path.exists(os.path.join(str(tmp_path / "ix"), "_meta.json"))
+
+
+def test_cli_index_build_then_increment(spark, split, tmp_path):
+    """End-to-end CLI surface: --index on an empty dir seeds it with the
+    batch run's retained state; a second invocation with a new input
+    dedups AGAINST it. Outputs pinned to the pure-python three-tier
+    oracle over the same (quality-filtered) contents the CLI sees."""
+    from fastqdedup_spark.cli import main
+    from fastqdedup_spark.functions.quality import content_quality_filter
+
+    old, new = split
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(old_p)
+    new.write.parquet(new_p)
+    ix, out1, out2 = (str(tmp_path / d) for d in ("ix", "out1", "out2"))
+    common = ["--index", ix, "--shingle-k", "7", "--threshold", "0.8",
+              "-c", "canonical", "-q"]
+
+    main(["--input", old_p, "--output", out1, *common])
+    idx = DedupIndex(spark, ix, CFG)
+    assert not idx.is_empty
+
+    main(["--input", new_p, "--output", out2, *common])
+
+    old_contents = [
+        r["content"] for r in content_quality_filter(old).select("content").collect()
+    ]
+    new_contents = [
+        r["content"] for r in content_quality_filter(new).select("content").collect()
+    ]
+    assert {r["sha"] for r in spark.read.parquet(out1).select("sha").collect()} == \
+        _batch_oracle(old_contents, CFG.shingle_k, CFG.jaccard_threshold)
+    _, _, kept = _incremental_oracle(
+        old_contents, new_contents, CFG.shingle_k, CFG.jaccard_threshold
+    )
+    assert {r["sha"] for r in spark.read.parquet(out2).select("sha").collect()} == kept
+    # the increment appended under the input-fingerprint-derived batch
+    # id: a rerun of the same input is an idempotent no-op append
+    f1 = idx.fingerprints().count()
+    main(["--input", new_p, "--output", out2, *common])
+    assert idx.fingerprints().count() == f1
