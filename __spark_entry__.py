@@ -611,6 +611,26 @@ def q24_incremental_near_dup(spark, sf):
         return spark.createDataFrame(out.collect(), "id long, status string")
 
 
+def q25_repetition_stats(spark, sf):
+    """Gopher-style repetition gates (functions/repetition.py): per
+    document, duplicate-word fraction, duplicate-word char fraction,
+    top word count, and top-bigram char coverage — the degenerate-text
+    filters an LLM corpus pipeline runs alongside q10's quality score.
+    Pure per-row Catalyst higher-order functions: zero shuffle, zero
+    Python — the plan is one codegen projection over the scan."""
+    from fastqdedup_spark.functions.repetition import word_repetition_stats
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", word_repetition_stats("text").alias("r")).select(
+        "doc_id",
+        F.col("r.n_words").alias("n_words"),
+        F.col("r.dup_word_frac").alias("dup_word_frac"),
+        F.col("r.dup_char_frac").alias("dup_char_frac"),
+        F.col("r.top_word_count").alias("top_word_count"),
+        F.col("r.top_bigram_frac").alias("top_bigram_frac"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -637,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_ann_ivf": q22_ann_ivf,
         "q23_incremental_exact": q23_incremental_exact,
         "q24_incremental_near_dup": q24_incremental_near_dup,
+        "q25_repetition_stats": q25_repetition_stats,
     }
 
 
@@ -1137,5 +1158,59 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'dup_batch' END AS status
             FROM new_s
             ORDER BY id
+        """,
+        # q25: word-level repetition gates. The oracle recomputes the
+        # run-length statistics relationally (explode + group-by) while
+        # the Spark side is a per-row sorted-array aggregate — same
+        # math, disjoint mechanics, so an off-by-one in either breaks
+        # the hash. Ties for the top bigram resolve to the smallest
+        # bigram on both sides (ORDER BY c DESC, b ASC here; strict-`>`
+        # over the ascending-sorted array there).
+        "q25_repetition_stats": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), wc AS (
+                SELECT doc_id, w, count(*) AS c, length(w) AS wl
+                FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+                GROUP BY doc_id, w
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_words,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(sum(c * wl) AS BIGINT) AS total_chars,
+                       CAST(sum(CASE WHEN c > 1 THEN c * wl ELSE 0 END) AS BIGINT) AS dup_chars,
+                       CAST(max(c) AS BIGINT) AS top_word_count
+                FROM wc GROUP BY doc_id
+            ), bc AS (
+                SELECT doc_id, b, count(*) AS c
+                FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+                      FROM base, unnest(range(1, len(ws))) AS t(i))
+                GROUP BY doc_id, b
+            ), topbg AS (
+                SELECT doc_id, CAST(c AS BIGINT) AS bg_count,
+                       CAST(length(b) - 1 AS BIGINT) AS bg_chars
+                FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                   ORDER BY c DESC, b ASC) AS rn
+                      FROM bc)
+                WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_words, 0) AS n_words,
+                   round(CASE WHEN coalesce(a.n_words, 0) > 0
+                              THEN CAST(a.n_words - a.n_distinct AS DOUBLE) / a.n_words
+                              ELSE 0.0 END, 6) AS dup_word_frac,
+                   round(CASE WHEN coalesce(a.total_chars, 0) > 0
+                              THEN CAST(a.dup_chars AS DOUBLE) / a.total_chars
+                              ELSE 0.0 END, 6) AS dup_char_frac,
+                   coalesce(a.top_word_count, 0) AS top_word_count,
+                   round(CASE WHEN coalesce(a.total_chars, 0) > 0 AND t.bg_count IS NOT NULL
+                              THEN CAST(t.bg_count * t.bg_chars AS DOUBLE) / a.total_chars
+                              ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN topbg t USING (doc_id)
         """,
     }
