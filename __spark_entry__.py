@@ -631,6 +631,50 @@ def q25_repetition_stats(spark, sf):
     )
 
 
+def q26_pii_scrub(spark, sf):
+    """PII/link scrubbing (functions/scrub.py): per document, counts of
+    URLs / emails / IPv4s plus the scrubbed text. The synthetic corpus
+    carries no natural PII, so the query deterministically injects
+    doc_id-derived PII into the text FIRST (identical expression in the
+    DuckDB oracle) — the value hash then covers the scrubbed string
+    itself, so a regex-semantics divergence between Java regex and RE2
+    or a wrong replacement order breaks the check, not just the counts.
+    Pure regexp column expressions: one projection, no shuffle, no
+    Python."""
+    from fastqdedup_spark.functions.scrub import pii_counts, scrub_pii
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" mail u"), sid, F.lit("@ex"), (F.col("doc_id") % 7).cast("string"), F.lit(".org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" see https://h"), sid, F.lit(".example.com/a?x=1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" ip 192.168."), (F.col("doc_id") % 254 + 1).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", injected.alias("t")
+    ).select(
+        "doc_id",
+        pii_counts("t").alias("c"),
+        scrub_pii("t").alias("scrubbed"),
+    ).select(
+        "doc_id",
+        F.col("c.n_urls").alias("n_urls"),
+        F.col("c.n_emails").alias("n_emails"),
+        F.col("c.n_ips").alias("n_ips"),
+        "scrubbed",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -658,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_incremental_exact": q23_incremental_exact,
         "q24_incremental_near_dup": q24_incremental_near_dup,
         "q25_repetition_stats": q25_repetition_stats,
+        "q26_pii_scrub": q26_pii_scrub,
     }
 
 
@@ -1212,5 +1257,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN topbg t USING (doc_id)
+        """,
+        # q26: identical injection expression, then RE2 replays the
+        # Java-regex scrub (patterns restricted to the shared syntax
+        # subset — see functions/scrub.py). Replacement order is part
+        # of the contract: URL, then email, then bare IPv4.
+        "q26_pii_scrub": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.org'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' see https://h' || doc_id || '.example.com/a?x=1'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' ip 192.168.' || (doc_id % 254 + 1) || '.7'
+                               ELSE '' END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+            FROM inj
         """,
     }
