@@ -675,6 +675,20 @@ def q26_pii_scrub(spark, sf):
     )
 
 
+def q27_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/decontaminate.py): flag
+    corpus documents sharing any 5-word-gram with the 'benchmark'
+    slice (deterministically: doc_id % 97 == 0). The corpus side never
+    shuffles content — benchmark n-grams broadcast, the one exchange
+    carries only contaminated (doc, gram) hits. Benchmark docs and
+    their dup families flag themselves, which is the point."""
+    from fastqdedup_spark.operators.decontaminate import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -703,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_incremental_near_dup": q24_incremental_near_dup,
         "q25_repetition_stats": q25_repetition_stats,
         "q26_pii_scrub": q26_pii_scrub,
+        "q27_decontaminate": q27_decontaminate,
     }
 
 
@@ -1287,5 +1302,28 @@ def oracle_sql() -> dict[str, str]:
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
             FROM inj
+        """,
+        # q27: same 5-gram construction relationally; benchmark slice
+        # doc_id % 97 == 0 pinned on both sides
+        "q27_decontaminate": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+                FROM base, unnest(range(1, len(ws) - 3)) AS t(i)
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_contaminated
+                FROM grams JOIN bench USING (g)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(h.n_contaminated, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
     }
