@@ -126,6 +126,14 @@ def main() -> None:
         # oracle-parity (portable-kernel) variants — correctness-tracked
         "q15_simhash_pairs",
         "q16_substring_dups",
+        # round-5 LLM-pipeline additions: repetition gates / PII scrub
+        # (zero-shuffle projections) and benchmark decontamination
+        # (broadcast gram join) — cheap, but a regression in the
+        # higher-order-function eval path or the broadcast shape
+        # should show up here
+        "q25_repetition_stats",
+        "q26_pii_scrub",
+        "q27_decontaminate",
     ]
     for name in headline:
         timed(name, lambda n=name: {"rows": qs[n](spark, SF_DIR).count()})
