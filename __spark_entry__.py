@@ -689,6 +689,25 @@ def q27_decontaminate(spark, sf):
     return decontaminate(d, bench, n=5)
 
 
+def q28_mix_sample(spark, sf):
+    """Deterministic corpus mixing (operators/mix.py): resample the
+    corpus to target per-language weights (en 1.0, de 0.5, fr 0.25,
+    es 0.1, zh 0.0) via the portable two-round-LCG draw on doc_id —
+    the oracle replays the identical integer arithmetic, so the KEPT
+    ROW SET (not just counts) must match exactly."""
+    from fastqdedup_spark.operators.mix import mix_sources
+
+    d = _t(spark, sf, "documents")
+    kept = mix_sources(
+        d,
+        {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.0},
+        stratum_col="lang",
+        key_col="doc_id",
+        seed=1,
+    )
+    return kept.select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -718,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_repetition_stats": q25_repetition_stats,
         "q26_pii_scrub": q26_pii_scrub,
         "q27_decontaminate": q27_decontaminate,
+        "q28_mix_sample": q28_mix_sample,
     }
 
 
@@ -1325,5 +1345,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
                    coalesce(h.n_contaminated, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # q28: the portable two-round LCG (constants shared with
+        # functions/portable.py: A=1103515245 C=12345 P=2^31-1, seed 1)
+        # replayed as plain bigint arithmetic — the kept ROW SET must
+        # match, not just the counts
+        "q28_mix_sample": """
+            WITH w(lang, ppm) AS (
+                VALUES ('en', 1000000), ('de', 500000), ('fr', 250000),
+                       ('es', 100000), ('zh', 0)
+            ), draw AS (
+                SELECT doc_id, lang,
+                       ((((doc_id * 1103515245 + 12345 + 1) % 2147483647)
+                         * 1103515245 + 12345) % 2147483647) % 1000000 AS r
+                FROM documents
+            )
+            SELECT doc_id, lang
+            FROM draw JOIN w USING (lang)
+            WHERE r < ppm
         """,
     }
