@@ -134,6 +134,7 @@ def main() -> None:
         "q25_repetition_stats",
         "q26_pii_scrub",
         "q27_decontaminate",
+        "q28_mix_sample",
     ]
     for name in headline:
         timed(name, lambda n=name: {"rows": qs[n](spark, SF_DIR).count()})
