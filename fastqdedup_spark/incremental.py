@@ -331,14 +331,23 @@ def dedup_files_incremental(
     # batch's distinct count, so it pins (localCheckpoint) into a small
     # table that both the semi and anti join below can broadcast —
     # without the pin, each consumer would rescan the fingerprint store.
+    #
+    # EVERY new-side broadcast here is gated on the same knob as the
+    # band join: an increment past incremental_broadcast_max_rows must
+    # not force multi-GB sha tables onto every executor (the hint
+    # overrides Spark's own size guard), so oversized increments let
+    # AQE pick the join strategy instead.
     new_shas = new_files.select("sha").distinct()
+    n_batch = new_shas.count()
+    broadcast_new = n_batch <= cfg.incremental_broadcast_max_rows
+    bcast = F.broadcast if broadcast_new else (lambda df: df)
     hits = (
         index.fingerprints(exclude=bid)
-        .join(F.broadcast(new_shas), "sha", "left_semi")
+        .join(bcast(new_shas), "sha", "left_semi")
         .localCheckpoint(eager=True)
     )
-    dropped_exact = new_files.join(F.broadcast(hits), "sha", "left_semi")
-    fresh_files = new_files.join(F.broadcast(hits), "sha", "left_anti")
+    dropped_exact = new_files.join(bcast(hits), "sha", "left_semi")
+    fresh_files = new_files.join(bcast(hits), "sha", "left_anti")
 
     # -- tier 2: near, streaming the survivor index twice -------------------
     # (bands for candidates, then contents for the candidates' verify;
@@ -346,13 +355,12 @@ def dedup_files_incremental(
     distinct_new = fresh_files.groupBy("sha").agg(
         F.count(F.lit(1)).alias("cnt"), F.first("content").alias("content")
     )
-    n_new = distinct_new.count()
-    signed_new = _sign_distinct(distinct_new, cfg, n_new).localCheckpoint(eager=True)
+    signed_new = _sign_distinct(distinct_new, cfg, n_batch).localCheckpoint(eager=True)
+    n_new = signed_new.count()  # post-checkpoint: a metadata-cheap job
     old_index = index.signed_survivors(exclude=bid)
-    broadcast_new = n_new <= cfg.incremental_broadcast_max_rows
     cand = cross_candidate_pairs(old_index, signed_new, cfg, broadcast_new)
     old_hit = old_index.join(
-        F.broadcast(cand.select(F.col("id_a").alias("nid")).distinct()),
+        bcast(cand.select(F.col("id_a").alias("nid")).distinct()),
         "nid",
         "left_semi",
     )
@@ -370,10 +378,10 @@ def dedup_files_incremental(
         .select("sha")
         .localCheckpoint(eager=True)
     )
-    dropped_near = fresh_files.join(F.broadcast(near_shas), "sha", "left_semi")
+    dropped_near = fresh_files.join(bcast(near_shas), "sha", "left_semi")
 
     # -- tier 3: within-batch recluster of the remainder --------------------
-    remainder = fresh_files.join(F.broadcast(near_shas), "sha", "left_anti")
+    remainder = fresh_files.join(bcast(near_shas), "sha", "left_anti")
     batch = dedup_files(
         spark, remainder, cfg, quality=False, collect_metrics=collect_metrics
     )

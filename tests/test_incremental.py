@@ -229,6 +229,30 @@ def test_broadcast_and_shuffled_paths_agree(spark, split, built):
     # the point of leaving the plan to AQE on the big-increment path
 
 
+def test_oversized_increment_path_agrees(spark, split, built):
+    """An increment past incremental_broadcast_max_rows must drop EVERY
+    forced new-side broadcast hint (tier-1 sha tables, tier-2 band join
+    and hit tables) and still produce identical tiers — the hint
+    override is the only difference between the two regimes."""
+    from dataclasses import replace as _replace
+
+    old, new = split
+    _, idx = built
+    small = dedup_files_incremental(
+        spark, new, CFG, idx, quality=False, update_index=False
+    )
+    big_cfg = _replace(CFG, incremental_broadcast_max_rows=0)
+    big = dedup_files_incremental(
+        spark, new, big_cfg, idx, quality=False, update_index=False
+    )
+    for attr in ("dropped_exact", "dropped_near", "deduped"):
+        a = sorted(r["sha"] for r in getattr(small, attr).select("sha").collect())
+        b = sorted(r["sha"] for r in getattr(big, attr).select("sha").collect())
+        assert a == b and a, attr
+    assert big.metrics["incremental.broadcast_new"] == 0.0
+    assert small.metrics["incremental.broadcast_new"] == 1.0
+
+
 def test_index_append_idempotent(spark, split, tmp_path):
     old, new = split
     _, idx = build_index(spark, old, CFG, str(tmp_path / "ix"), quality=False)
