@@ -390,6 +390,11 @@ def verify_pairs_jaccard(
                 "id_b",
             )
             .withColumn("_key", F.least("_la", "_lb"))
+            # _la/_lb are dead once _key exists; dropping them keeps
+            # two 16-byte binaries per pair out of the content joins
+            # and the verify exchange (only _key/_kcnt steer the
+            # repartition below)
+            .drop("_la", "_lb")
         )
         kcnt = pairs.groupBy("_key").agg(F.count(F.lit(1)).alias("_kcnt"))
         pairs = pairs.join(hint(kcnt), "_key")
