@@ -1028,7 +1028,7 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
                 SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
                 FROM embeddings
-                ORDER BY (vec_id * 2654435761) % 2147483647 ASC, vec_id ASC
+                ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647 ASC, vec_id ASC
                 LIMIT 16
             ), scored AS (
                 SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
@@ -1356,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
                        ('es', 100000), ('zh', 0)
             ), draw AS (
                 SELECT doc_id, lang,
-                       ((((doc_id * 1103515245 + 12345 + 1) % 2147483647)
+                       (((((doc_id % 2147483647) * 1103515245 + 12345 + 1) % 2147483647)
                          * 1103515245 + 12345) % 2147483647) % 1000000 AS r
                 FROM documents
             )

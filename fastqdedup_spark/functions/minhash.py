@@ -73,9 +73,22 @@ def content_chunk_bounds(lens: np.ndarray, target_bytes: int = _SIGNER_CHUNK_BYT
     n = len(lens)
     if n == 0:
         return
-    cut = np.searchsorted(
-        np.cumsum(lens, dtype=np.int64), np.arange(1, n, dtype=np.int64) * target_bytes
+    csum = np.cumsum(lens, dtype=np.int64)
+    # one threshold per target_bytes of TOTAL PAYLOAD — not per row: a
+    # row-count-scaled threshold list (the original bug) runs out of
+    # cuts once total bytes exceed (n-1)*target and dumps the whole
+    # tail into one full-width chunk, silently restoring the very
+    # DRAM-sweeping temporaries this function exists to avoid. Each
+    # cut lands AFTER the row that crosses its threshold (+1), so a
+    # row longer than the target really does get its own chunk.
+    ncuts = int(csum[-1] // target_bytes)
+    cut = (
+        np.searchsorted(
+            csum, np.arange(1, ncuts + 1, dtype=np.int64) * target_bytes
+        )
+        + 1
     )
+    cut = cut[cut < n]
     for lo, hi in zip(
         np.concatenate(([0], cut)), np.concatenate((cut, [n]))
     ):

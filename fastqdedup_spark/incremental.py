@@ -68,7 +68,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -163,13 +163,21 @@ class DedupIndex:
 
     # -- reads -------------------------------------------------------------
     def _batches(self, sub: str, exclude: str | None = None) -> list[str]:
+        # only COMPLETE batches (both fingerprints and index landed)
+        # are visible to readers — a crash between append()'s two
+        # writes must leave the half-appended batch invisible, or the
+        # CLI's is_empty dispatch wedges: it would see a non-empty
+        # index, route to the incremental path, and die forever in the
+        # other read with "run build_index first" while refusing to
+        # rebuild. Incomplete batches are overwritten by the retry
+        # (has_batch is false for them), so the crash self-heals.
         root = os.path.join(self.path, sub)
         if not os.path.isdir(root):
             return []
         return sorted(
             os.path.join(root, d)
             for d in os.listdir(root)
-            if d != exclude and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+            if d != exclude and self.has_batch(d)
         )
 
     def fingerprints(self, exclude: str | None = None) -> DataFrame:
@@ -214,11 +222,15 @@ class DedupIndex:
         Returns True when something was written."""
         if self.has_batch(batch_id):
             return False
-        fingerprints.select("sha").write.mode("overwrite").parquet(
-            os.path.join(self.path, "fingerprints", batch_id)
-        )
+        # index first, fingerprints last: has_batch (and therefore
+        # batch visibility in _batches) flips true only when the
+        # SECOND write's _SUCCESS lands, so readers never observe a
+        # half-appended batch
         signed_survivors.select(*_INDEX_COLS).write.mode("overwrite").parquet(
             os.path.join(self.path, "index", batch_id)
+        )
+        fingerprints.select("sha").write.mode("overwrite").parquet(
+            os.path.join(self.path, "fingerprints", batch_id)
         )
         return True
 
@@ -251,18 +263,19 @@ def build_index(
     union of store + recent increments to restore global single-linkage."""
     res = dedup_files(spark, files, cfg, quality=quality, collect_metrics=collect_metrics)
     index = DedupIndex(spark, path, cfg)
-    if quality:
-        files = content_quality_filter(files)
-    files = with_sha256(files)
     # res.deduped holds exactly one file row per surviving content
     # (first-wins rep), so signing it is one Arrow pass over survivors
-    # only — never the full corpus.
+    # only — never the full corpus. Fingerprints come from
+    # res.clusters: one row per DISTINCT quality-passed sha, already
+    # computed by the pipeline's distinct_contents stage — re-deriving
+    # them from `files` would re-scan and re-sha256 the entire corpus
+    # a second time (at 100 TB, the costliest op in the build).
     surv = res.deduped.groupBy("sha").agg(
         F.count(F.lit(1)).alias("cnt"), F.first("content").alias("content")
     )
     index.append(
         batch_id,
-        fingerprints=files.select("sha").distinct(),
+        fingerprints=res.clusters.select("sha"),
         signed_survivors=_sign_distinct(surv, cfg, None),
     )
     return res, index
@@ -359,8 +372,15 @@ def dedup_files_incremental(
     n_new = signed_new.count()  # post-checkpoint: a metadata-cheap job
     old_index = index.signed_survivors(exclude=bid)
     cand = cross_candidate_pairs(old_index, signed_new, cfg, broadcast_new)
+    # NOT bcast()-gated: this table holds OLD survivor nids hit by the
+    # band join, whose size scales with how many index survivors match
+    # the increment — a small batch of boilerplate-heavy docs can hit
+    # millions of retained survivors, so a forced broadcast sized by
+    # n_batch would override Spark's own size guard and OOM. Left
+    # unhinted, AQE broadcasts it when it really is small (the common
+    # case) and shuffles otherwise.
     old_hit = old_index.join(
-        bcast(cand.select(F.col("id_a").alias("nid")).distinct()),
+        cand.select(F.col("id_a").alias("nid")).distinct(),
         "nid",
         "left_semi",
     )

@@ -100,9 +100,22 @@ def _pairs_from_bands(
         # the plan is still CORRECT, just re-shuffles the fat table per
         # side, which is exactly the 2.66 GB regression copart exists to
         # remove.
-        bands.sparkSession.conf.set(
-            "spark.sql.requireAllClusterKeysForCoPartition", "false"
-        )
+        # The set is SESSION-WIDE and deliberately not restored: the
+        # conf must still hold when the lazy plan is physically planned
+        # at action time, long after this builder returns. Warn when we
+        # actually flip a foreign session's value so the semantic change
+        # (subset-key co-partitioning for ALL later joins) is visible.
+        _conf = bands.sparkSession.conf
+        if _conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true") != "false":
+            import logging
+
+            logging.getLogger("fastqdedup_spark").warning(
+                "copartition_pairs: setting session-wide "
+                "spark.sql.requireAllClusterKeysForCoPartition=false "
+                "(required at action time; affects later joins in this "
+                "session)"
+            )
+        _conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # CAPPED schemes (MinHash), windowless CO-PARTITIONED shape: the
         # payload-fat band table crosses the wire ONCE. Band sizes come
         # from a THIN aggregate (band_hash-only shuffle, map-side

@@ -31,8 +31,15 @@ PPM = 1_000_000
 def sample_unit(key: "str | Column", seed: int = 1) -> Column:
     """Deterministic pseudo-uniform draw in [0, 1e6) from a
     non-negative integer key: two LCG rounds mod 2^31-1. Portable:
-    the same formula in any bigint SQL engine yields the same draw."""
-    k = (F.col(key) if isinstance(key, str) else key).cast("long")
+    the same formula in any bigint SQL engine yields the same draw.
+
+    The key is reduced mod P BEFORE the first multiply — without it,
+    keys above 2^63/A ~ 8.4e9 (well inside the 10^12-row regime this
+    targets) overflow int64 and wrap negative; Spark's % keeps the
+    dividend's sign, so the draw would go negative and `draw < ppm`
+    would hold even for weight-0 strata. Post-reduction every
+    intermediate stays under P*A < 2^62 on any conforming engine."""
+    k = (F.col(key) if isinstance(key, str) else key).cast("long") % P
     u1 = (k * A + C + F.lit(int(seed))) % P
     u2 = (u1 * A + C) % P
     return u2 % PPM

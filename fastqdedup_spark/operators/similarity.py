@@ -229,7 +229,11 @@ def ivf_topk(
 
     Centroids are a deterministic pseudo-random corpus sample: the
     `n_list` vectors with the smallest Knuth multiplicative hash of
-    their id ((id * 2654435761) mod 2^31, ties by id). No k-means
+    their id (((id mod P) * 2654435761) mod P, P = 2^31-1, ties by
+    id; the pre-reduction keeps the multiply inside int64 for ids past
+    ~3.5e9, where the raw product would wrap negative and silently
+    reorder the sample — and would overflow outright in strict-bigint
+    engines like the DuckDB oracle). No k-means
     training round: random-sample centroids are the classic IVF
     bootstrap, fully reproducible, and — unlike seeded k-means —
     exactly replicable by a SQL oracle (q22 recomputes the whole
@@ -243,7 +247,9 @@ def ivf_topk(
     `list_id`, and the probe join prunes file scans to the probed
     lists — assignment cost is paid once per corpus, probing reads
     n_probe/n_list of the data."""
-    knuth = (F.col(id_col) * F.lit(2654435761)) % F.lit(2147483647)
+    knuth = ((F.col(id_col) % F.lit(2147483647)) * F.lit(2654435761)) % F.lit(
+        2147483647
+    )
     crows = (
         corpus.select(id_col, vec_col)
         .orderBy(knuth.asc(), F.col(id_col).asc())

@@ -253,6 +253,31 @@ def test_oversized_increment_path_agrees(spark, split, built):
     assert small.metrics["incremental.broadcast_new"] == 1.0
 
 
+def test_half_appended_batch_is_invisible_and_self_heals(spark, split, tmp_path):
+    """A crash between append()'s two writes must leave the batch
+    invisible (is_empty stays True for a partial base build — the CLI
+    would otherwise route to the incremental path and die forever in
+    signed_survivors with an unfollowable 'run build_index first') and
+    a retry must rebuild over the debris."""
+    old, _ = split
+    path = str(tmp_path / "ix")
+    # simulate both partial states: index-only (the new write order's
+    # real crash window) and fingerprints-only (legacy order debris)
+    for sub in ("index", "fingerprints"):
+        p = os.path.join(path, sub, "base")
+        os.makedirs(p, exist_ok=True)
+        if sub == "index":
+            open(os.path.join(p, "_SUCCESS"), "w").close()
+        idx = DedupIndex(spark, path, CFG)
+        assert idx.is_empty
+        with pytest.raises(ValueError, match="empty index"):
+            idx.fingerprints()
+    # the retry overwrites the debris and completes
+    res, idx = build_index(spark, old, CFG, path, quality=False)
+    assert not idx.is_empty and idx.has_batch("base")
+    assert idx.fingerprints().count() > 0
+
+
 def test_index_append_idempotent(spark, split, tmp_path):
     old, new = split
     _, idx = build_index(spark, old, CFG, str(tmp_path / "ix"), quality=False)

@@ -76,3 +76,31 @@ def test_shingle_set_excludes_boundary_junk():
     assert counts.tolist() == [4, 4]
     # row 0's shingles unchanged by the following row
     assert set(joint_H[:4].tolist()) == s1
+
+
+def test_content_chunk_bounds_scale_with_bytes_not_rows():
+    """Regression: thresholds must track TOTAL PAYLOAD, not row count.
+    The original np.arange(1, n)*target thresholds ran out once total
+    bytes exceeded (n-1)*target and dumped the tail into one full-width
+    chunk — exactly the DRAM-sweeping shape chunking exists to avoid."""
+    from fastqdedup_spark.functions.minhash import content_chunk_bounds
+
+    T = 256 * 1024
+    big = np.full(100, 1_000_000, dtype=np.int64)  # 100 MB total
+    chunks = list(content_chunk_bounds(big, T))
+    assert max(int(big[lo:hi].sum()) for lo, hi in chunks) <= 1_000_000
+    # a row longer than the target gets its own chunk (docstring)
+    assert list(content_chunk_bounds(np.array([10 * T, 1, 1], dtype=np.int64), T)) == [
+        (0, 1),
+        (1, 3),
+    ]
+    # chunks partition [0, n) exactly, under any length mix
+    for lens in (
+        big,
+        np.full(10, 100_000, dtype=np.int64),
+        np.array([0, 0, 5, 0], dtype=np.int64),
+        np.zeros(5, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+    ):
+        got = [i for lo, hi in content_chunk_bounds(lens, T) for i in range(lo, hi)]
+        assert got == list(range(len(lens)))

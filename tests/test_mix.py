@@ -42,11 +42,18 @@ def test_deterministic_and_seed_sensitive(spark):
 def test_draw_range_and_portability_formula(spark):
     # pin the exact arithmetic the SQL oracle replays: two LCG rounds
     # mod 2^31-1, then mod 1e6
-    df = spark.range(5).select(sample_unit(F.col("id"), seed=1).alias("u"))
-    got = [r["u"] for r in df.collect()]
     P, A, C = 2_147_483_647, 1_103_515_245, 12_345
-    exp = [(((k * A + C + 1) % P) * A + C) % P % 1_000_000 for k in range(5)]
+    # include keys past 2^63/A: without the `key % P` pre-reduction the
+    # first multiply overflows int64, the draw goes NEGATIVE, and
+    # weight-0 strata keep rows
+    keys = [0, 1, 2, 3, 4, 10_000_000_000, 2**62]
+    df = spark.createDataFrame([(k,) for k in keys], "id long").select(
+        sample_unit(F.col("id"), seed=1).alias("u")
+    )
+    got = [r["u"] for r in df.collect()]
+    exp = [((((k % P) * A + C + 1) % P) * A + C) % P % 1_000_000 for k in keys]
     assert got == exp
+    assert all(0 <= u < 1_000_000 for u in got)
 
 
 def test_weights_are_broadcast(spark):
