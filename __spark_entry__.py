@@ -708,6 +708,22 @@ def q28_mix_sample(spark, sf):
     return kept.select("doc_id", "lang")
 
 
+def q29_pack_shards(spark, sf):
+    """Token-budget shard packing (operators/pack.py): assign every
+    document to the training shard its first token falls in, walking
+    the corpus in doc_id order and cutting every 4096 tokens. Tokens
+    are the q08 portable whitespace count; the Spark side runs the
+    two-level distributed prefix sum (range partitions + one npart-row
+    offset window), the oracle the equivalent single window cumsum —
+    identical (doc_id, n_tokens, shard) triples required."""
+    from fastqdedup_spark.functions.text import token_count
+    from fastqdedup_spark.operators.pack import assign_shards
+
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    return assign_shards(toks, budget=4096).select("doc_id", "n_tokens", "shard")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -738,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_pii_scrub": q26_pii_scrub,
         "q27_decontaminate": q27_decontaminate,
         "q28_mix_sample": q28_mix_sample,
+        "q29_pack_shards": q29_pack_shards,
     }
 
 
@@ -1363,5 +1380,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang
             FROM draw JOIN w USING (lang)
             WHERE r < ppm
+        """,
+        "q29_pack_shards": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                                 - length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1
+                       END AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM t
+            )
+            SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard
+            FROM c
         """,
     }

@@ -135,6 +135,9 @@ def main() -> None:
         "q26_pii_scrub",
         "q27_decontaminate",
         "q28_mix_sample",
+        # two-level distributed prefix sum (range + offset broadcast) —
+        # a regression to a single-reducer global window shows up here
+        "q29_pack_shards",
     ]
     for name in headline:
         timed(name, lambda n=name: {"rows": qs[n](spark, SF_DIR).count()})

@@ -1,0 +1,99 @@
+"""Token-budget shard packing — assign documents to ~equal-token
+training shards.
+
+The last step of a pre-training data pipeline is writing the curated
+corpus out as shards of roughly equal TOKEN count (not file count —
+document length is heavy-tailed, so count-balanced shards are
+token-skewed and stragglers follow). The assignment everyone wants is
+"walk the corpus in a canonical order, cut every `budget` tokens":
+
+    shard(doc) = exclusive_prefix_sum(n_tokens) div budget
+
+over a deterministic global order. A doc whose token span straddles a
+cut belongs to the shard its FIRST token falls in, so per-shard totals
+land in [budget - max_doc + 1, budget + max_doc - 1] — deterministic,
+rerun-stable, and replayable by any SQL engine with a window cumsum.
+
+Scale design (the part that must survive 10^12 rows): the naive
+formulation — one `SUM OVER (ORDER BY key)` window with no
+partitionBy — plans as a SINGLE-TASK global sort in Spark (a
+1000-executor cluster funnels 100 TB through one reducer). This
+operator runs the textbook two-level distributed prefix sum instead:
+
+  1. `repartitionByRange(npart, key)` — range partitions ARE the
+     global order, read off spark_partition_id (RangePartitioner
+     assigns ids in key order).
+  2. per-partition token totals -> an npart-row table; its OWN
+     exclusive cumsum is the one tiny single-task window (npart rows,
+     not corpus rows).
+  3. broadcast the offsets back; each partition computes its local
+     cumsum independently (window partitioned BY partition id — full
+     parallelism) and adds its offset.
+
+Plan cost: two LINEAR exchanges of the data (the range shuffle, then
+the window's hash-by-pid shuffle — Catalyst cannot see that the
+pinned RDD already satisfies it) plus one per-partition sort — vs the
+naive global window's single-reducer sort, which is not a plan at
+all past one machine.
+
+The ranged table is pinned (localCheckpoint) before being read by
+steps 2 and 3: RangePartitioner samples its boundaries, and two
+independent evaluations of the same lazy plan are not guaranteed
+byte-identical partition assignments — an unpinned reuse would let
+the totals and the data disagree and skew every downstream offset.
+At datalake scale the pin is "write the range-sorted table once
+(sorted Iceberg/parquet), read it twice", which a production run
+wants anyway because the shard write that follows reads it again.
+
+No reference counterpart (the reference emits one gzip stream,
+/root/reference/src/fastqdedup/__init__.py:189-206); this is a
+graft-only training-pipeline operator like mix/scrub/decontaminate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def assign_shards(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    npart: int | None = None,
+) -> DataFrame:
+    """Add a `shard: long` column: exclusive-prefix-sum(token_col) div
+    budget over the global `order_col` order. Requires budget >= 1 and
+    unique order keys (range boundaries may split runs of equal keys
+    between partitions only BETWEEN distinct values, but the intra-
+    partition window would order ties arbitrarily)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    spark = df.sparkSession
+    npart = npart or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(npart, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(token_col).alias("_tot"))
+    # the one global window: npart rows, metadata-sized at any corpus
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(off_w), F.lit(0)).alias("_off")
+    )
+    intra_w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cum", F.col("_off") + F.sum(token_col).over(intra_w))
+        .withColumn(
+            "shard",
+            F.expr(f"(_cum - {token_col}) div {budget}"),
+        )
+        .drop("_pid", "_off", "_cum")
+    )

@@ -1,0 +1,74 @@
+"""Token-budget shard packing (operators/pack.py) vs a pure-Python
+prefix-sum oracle, across partition counts and degenerate shapes."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastqdedup_spark.operators.pack import assign_shards
+
+
+def _oracle(rows, budget):
+    out, cum = {}, 0
+    for key, tok in sorted(rows):
+        out[key] = (cum) // budget
+        cum += tok
+    return out
+
+
+def _check(spark, rows, budget, npart):
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(df, budget, npart=npart).collect()
+    }
+    assert got == _oracle(rows, budget)
+
+
+def test_matches_oracle_across_partition_counts(spark):
+    # heavy-tailed lengths, ids deliberately NOT contiguous; every
+    # npart (1, fewer-rows-than-parts, more-parts-than-rows) must give
+    # the identical global assignment
+    rows = [(i * 7 % 101, (i * i) % 50 + 1) for i in range(80)]
+    for npart in (1, 3, 4, 16, 200):
+        _check(spark, rows, budget=100, npart=npart)
+
+
+def test_boundary_doc_belongs_to_starting_shard(spark):
+    # doc 2 starts at token 90 (< 100) and spans the cut: shard 0
+    rows = [(1, 90), (2, 30), (3, 10)]
+    _check(spark, rows, budget=100, npart=2)
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(
+            spark.createDataFrame(rows, "doc_id long, n_tokens long"), 100, npart=2
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_degenerate_shapes(spark):
+    _check(spark, [(5, 0), (6, 0), (7, 3)], budget=2, npart=3)  # zero-token docs
+    _check(spark, [(1, 10)], budget=1, npart=4)  # single row, oversize doc
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert assign_shards(empty, 10, npart=4).count() == 0
+    with pytest.raises(ValueError):
+        assign_shards(empty, 0)
+
+
+def test_shard_totals_bounded_and_contiguous(spark):
+    rows = [(i, (i * 13) % 97 + 1) for i in range(300)]
+    budget, max_doc = 500, 97
+    df = assign_shards(
+        spark.createDataFrame(rows, "doc_id long, n_tokens long"), budget, npart=8
+    )
+    sums = {
+        r["shard"]: r["tot"]
+        for r in df.groupBy("shard").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    assert sorted(sums) == list(range(len(sums)))  # contiguous from 0
+    # every shard but the last covers its full budget span (a straddling
+    # doc counts toward the shard its first token falls in)
+    for s, tot in sums.items():
+        assert tot < budget + max_doc
+        if s != max(sums):
+            assert tot > budget - max_doc
