@@ -724,6 +724,51 @@ def q29_pack_shards(spark, sf):
     return assign_shards(toks, budget=4096).select("doc_id", "n_tokens", "shard")
 
 
+def q30_segment_dedup(spark, sf):
+    """C4-style sub-document dedup (operators/segment_dedup.py):
+    segment every document into 12-word windows, remove any window
+    that occurs in >= 2 distinct documents (corpus-wide), and
+    re-assemble the survivors in order. Output per doc: segment
+    count, removed count, cleaned text — the value hash covers the
+    cleaned STRING, so a segmentation, threshold, or re-assembly
+    order bug breaks the check. mode='exact' (group by the raw
+    segment) keeps the semantics byte-replayable by the oracle; the
+    hash-keyed scale path is pinned equal in pytest."""
+    from fastqdedup_spark.operators.segment_dedup import segment_dedup
+
+    d = _t(spark, sf, "documents")
+    return segment_dedup(
+        d, text_col="text", id_col="doc_id", window_words=12, min_docs=2
+    )
+
+
+def q31_shuffle_pack(spark, sf):
+    """Deterministic global training-order shuffle + shard packing:
+    permute the corpus by the portable LCG draw (mix.sample_unit,
+    seed 7) with doc_id as the unique tiebreak, then cut 4096-token
+    shards walking THAT order (operators/pack.py over the composite
+    (draw, doc_id) key). This is the pipeline step everyone runs
+    before writing training shards — shuffle first so each shard is
+    an unbiased corpus sample, pack second so shards are token-
+    balanced — and it stays the two-level distributed prefix sum (no
+    single-reducer global sort). The oracle replays the identical
+    integer draw and a single window cumsum over the same composite
+    order."""
+    from fastqdedup_spark.functions.text import token_count
+    from fastqdedup_spark.operators.mix import sample_unit
+    from fastqdedup_spark.operators.pack import assign_shards
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        sample_unit("doc_id", seed=7).alias("draw"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    return assign_shards(
+        toks, budget=4096, order_col=["draw", "doc_id"]
+    ).select("doc_id", "draw", "n_tokens", "shard")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -755,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_decontaminate": q27_decontaminate,
         "q28_mix_sample": q28_mix_sample,
         "q29_pack_shards": q29_pack_shards,
+        "q30_segment_dedup": q30_segment_dedup,
+        "q31_shuffle_pack": q31_shuffle_pack,
     }
 
 
@@ -1398,6 +1445,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard
+            FROM c
+        """,
+        "q30_segment_dedup": r"""
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), segs AS (
+                SELECT doc_id, i AS seg_idx,
+                       array_to_string(w[(i * 12 + 1):((i + 1) * 12)], ' ') AS seg
+                FROM words, UNNEST(range(CAST(ceil(len(w) / 12.0) AS BIGINT))) AS t(i)
+            ), freq AS (
+                SELECT seg, count(DISTINCT doc_id) AS n_docs
+                FROM segs GROUP BY seg
+            ), flagged AS (
+                SELECT s.doc_id, s.seg_idx, s.seg, f.n_docs >= 2 AS is_dup
+                FROM segs s JOIN freq f USING (seg)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_segments,
+                   coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE NOT is_dup), '') AS cleaned_text
+            FROM flagged GROUP BY doc_id
+        """,
+        "q31_shuffle_pack": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       (((((doc_id % 2147483647) * 1103515245 + 12345 + 7) % 2147483647)
+                         * 1103515245 + 12345) % 2147483647) % 1000000 AS draw,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                                 - length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1
+                       END AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, draw, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY draw, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM t
+            )
+            SELECT doc_id, draw, n_tokens, (cum - n_tokens) // 4096 AS shard
             FROM c
         """,
     }

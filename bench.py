@@ -138,6 +138,10 @@ def main() -> None:
         # two-level distributed prefix sum (range + offset broadcast) —
         # a regression to a single-reducer global window shows up here
         "q29_pack_shards",
+        # C4-style segment dedup: explode -> pinned hash partitioning
+        # reused by agg AND join (one content exchange) -> sorted-
+        # struct re-assembly; a second exchange sneaking in shows here
+        "q30_segment_dedup",
     ]
     for name in headline:
         timed(name, lambda n=name: {"rows": qs[n](spark, SF_DIR).count()})

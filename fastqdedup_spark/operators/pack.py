@@ -60,20 +60,25 @@ def assign_shards(
     df: DataFrame,
     budget: int,
     token_col: str = "n_tokens",
-    order_col: str = "doc_id",
+    order_col: "str | list[str]" = "doc_id",
     npart: int | None = None,
 ) -> DataFrame:
     """Add a `shard: long` column: exclusive-prefix-sum(token_col) div
-    budget over the global `order_col` order. Requires budget >= 1 and
-    unique order keys (range boundaries may split runs of equal keys
-    between partitions only BETWEEN distinct values, but the intra-
-    partition window would order ties arbitrarily)."""
+    budget over the global `order_col` order. `order_col` may be a
+    list — the order is then the lexicographic composite (how the
+    deterministic-shuffle path orders by (draw, doc_id): the draw
+    alone collides at corpus scale, the composite is unique). Requires
+    budget >= 1 and unique order keys/tuples (range boundaries may
+    split runs of equal keys between partitions only BETWEEN distinct
+    values, but the intra-partition window would order ties
+    arbitrarily)."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     npart = npart or spark.sparkContext.defaultParallelism
     ranged = (
-        df.repartitionByRange(npart, F.col(order_col))
+        df.repartitionByRange(npart, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -85,7 +90,7 @@ def assign_shards(
     )
     intra_w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -55,6 +55,29 @@ def test_degenerate_shapes(spark):
         assign_shards(empty, 0)
 
 
+def test_composite_order_key_with_heavy_ties(spark):
+    """order_col as a list: the (draw, doc_id) shuffle-then-pack
+    composite. draw has only 11 distinct values over 120 rows, so tie
+    runs straddle range-partition boundaries — the doc_id tiebreak
+    must keep the global order exact."""
+    rows = [(i, (i * 13) % 97 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").withColumn(
+        "draw", (F.col("doc_id") * 37) % 11
+    )
+    want, cum = {}, 0
+    for did, tok in sorted(rows, key=lambda t: ((t[0] * 37) % 11, t[0])):
+        want[did] = cum // 100
+        cum += tok
+    for npart in (1, 5, 32):
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in assign_shards(
+                df, 100, order_col=["draw", "doc_id"], npart=npart
+            ).collect()
+        }
+        assert got == want, f"npart={npart}"
+
+
 def test_shard_totals_bounded_and_contiguous(spark):
     rows = [(i, (i * 13) % 97 + 1) for i in range(300)]
     budget, max_doc = 500, 97
