@@ -769,6 +769,44 @@ def q31_shuffle_pack(spark, sf):
     ).select("doc_id", "draw", "n_tokens", "shard")
 
 
+def q32_semantic_dedup(spark, sf):
+    """SemDeDup-style end-to-end semantic dedup (Abbas et al. 2023):
+    embedding-cosine near-dup pairs (the q19 generator — bucketed
+    multi-table sign-LSH candidates + exact cosine verify) fed through
+    connected components; each semantic cluster keeps its minimum
+    vec_id as the representative. Output per vector: cluster label +
+    representative flag — the pipeline a training corpus runs to drop
+    semantically redundant documents, composed entirely from the
+    engine's scale-path operators (no driver collect, size-gated CC).
+    Oracle: exact all-pairs cosine edges + recursive-CTE transitive
+    closure, min-id label, recomputed from first principles."""
+    from fastqdedup_spark.operators.connected_components import (
+        connected_components,
+    )
+    from fastqdedup_spark.operators.similarity import cosine_dup_pairs
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    perturbed = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01 + 0.001).alias("embedding"),
+    )
+    both = e.unionByName(perturbed)
+    pairs = cosine_dup_pairs(both, threshold=0.99)
+    labels, _ = connected_components(pairs)
+    return (
+        both.select(F.col("vec_id").alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_representative",
+            (F.col("vec_id") == F.col("cluster_id")).cast("long"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -802,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_pack_shards": q29_pack_shards,
         "q30_segment_dedup": q30_segment_dedup,
         "q31_shuffle_pack": q31_shuffle_pack,
+        "q32_semantic_dedup": q32_semantic_dedup,
     }
 
 
@@ -1489,5 +1528,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, draw, n_tokens, (cum - n_tokens) // 4096 AS shard
             FROM c
+        """,
+        "q32_semantic_dedup": """
+            WITH RECURSIVE all_vecs AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(embedding, x -> x * 1.01 + 0.001)
+                FROM embeddings
+            ), edges AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM all_vecs a JOIN all_vecs b
+                  ON a.vec_id <> b.vec_id
+                 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+            ), reach(a, b) AS (
+                SELECT vec_id, vec_id FROM all_vecs
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            )
+            SELECT a AS vec_id, min(b) AS cluster_id,
+                   CAST(CASE WHEN a = min(b) THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_representative
+            FROM reach GROUP BY a
         """,
     }
