@@ -93,6 +93,22 @@ def test_partition_count_invariance(spark):
         assert _run(spark, rows, window_words=5, npart=npart) == want
 
 
+def test_seeded_fuzz_corpus_matches_oracle(spark):
+    """320-doc seeded random corpus over a 30-word vocabulary (dense
+    natural cross-doc window collisions) + 20 planted exact copies —
+    one Spark run against the pure-Python oracle."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+        for i in range(300)
+    ]
+    rows += [(1000 + i, rows[i][1]) for i in range(20)]
+    assert _run(spark, rows, window_words=8) == _oracle(rows, 8, 2)
+
+
 def test_content_crosses_one_detection_exchange(spark):
     """In hash key mode the raw segment strings must cross exactly ONE
     exchange (the join side's key repartition): the frequency branch
