@@ -216,9 +216,14 @@ class StageCheckpointer:
             # `reload_metrics` names metric-stages whose counters were
             # observed while BUILDING this stage (e.g. "dissect" rides
             # the "survivors" build) — they never fire on resume.
+            # seconds/resumed/lineage_verified are re-emitted fresh by
+            # every resumed run — re-adding their persisted copies too
+            # would grow one duplicate row per resume GENERATION (run N
+            # persists N copies of lineage_verified, run N+1 reloads
+            # them all and adds its own)
             for mstage in (name, *reload_metrics):
                 for metric, value in self._persisted_stage_metrics(mstage):
-                    if metric not in ("seconds", "resumed"):
+                    if metric not in ("seconds", "resumed", "lineage_verified"):
                         self.metrics.add(mstage, metric, value)
             return df
         df = build()
@@ -234,6 +239,16 @@ class StageCheckpointer:
 
     def write_metrics(self) -> None:
         if self.base:
-            self.metrics.to_df(self.spark).coalesce(1).write.mode("overwrite").parquet(
+            # last-wins per (stage, metric): a resumed run holds both
+            # the reloaded copy and any freshly recomputed one of the
+            # same counter — persisting the raw list would compound
+            # duplicates across resume chains
+            dedup: dict[tuple[str, str], float] = {}
+            for stage, metric, value in self.metrics._resolved():
+                dedup[(stage, metric)] = value
+            rows = [(s, m, v) for (s, m), v in dedup.items()]
+            self.spark.createDataFrame(
+                rows, "stage string, metric string, value double"
+            ).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(self.base, "_metrics")
             )

@@ -67,3 +67,31 @@ def test_pre_lineage_checkpoints_still_resume(spark, tmp_path):
     out = ck2.stage("stage_c", lambda: spark.range(0, 50))
     assert out.count() == 50
     assert ck2.metrics.as_dict()["stage_c.lineage_verified"] == 0
+
+
+def test_persisted_metrics_stable_across_resume_chain(spark, tmp_path):
+    """Three resume generations must not grow the persisted _metrics
+    table: reloaded counters + freshly re-emitted ones (resumed,
+    lineage_verified) dedupe last-wins per (stage, metric) at write
+    time, and the fresh-each-resume metrics are never re-added from
+    the persisted copy."""
+    import os
+
+    df = spark.range(0, 50).withColumn("v", F.col("id") * 2)
+    ck1 = _ck(spark, tmp_path)
+    ck1.stage("stage_m", lambda: df.repartition(2))
+    ck1.metrics.add("stage_m", "custom_counter", 7)
+    ck1.write_metrics()
+
+    counts = []
+    for _ in range(3):
+        ck = _ck(spark, tmp_path)
+        ck.stage("stage_m", lambda: (_ for _ in ()).throw(AssertionError))
+        ck.write_metrics()
+        rows = spark.read.parquet(os.path.join(ck.base, "_metrics")).collect()
+        keys = [(r["stage"], r["metric"]) for r in rows]
+        assert len(keys) == len(set(keys)), keys  # no duplicate counters
+        counts.append(len(keys))
+        # the reloaded custom counter survives every generation
+        assert ("stage_m", "custom_counter") in keys
+    assert counts[0] == counts[1] == counts[2]
