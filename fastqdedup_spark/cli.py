@@ -232,11 +232,17 @@ def main(argv: list[str] | None = None) -> None:
             DedupIndex,
             build_index,
             dedup_files_incremental,
+            derived_batch_id,
         )
 
         index = DedupIndex(spark, args.index, cfg)
-        bid = args.index_batch_id or None
-        if index.is_empty:
+        # the SAME id the increment path would derive (--index always
+        # sets cfg.input_id), so a re-run of the seed-build command is
+        # recognized below instead of deduping the input against its
+        # own previous append (which returned an empty batch and
+        # overwrote --output with it)
+        bid = args.index_batch_id or derived_batch_id(cfg)
+        if index.is_empty or index.batch_ids() == [bid]:
             if not args.update_index:
                 raise SystemExit(
                     "--no-update-index requires an existing index: an empty "
@@ -244,7 +250,7 @@ def main(argv: list[str] | None = None) -> None:
                 )
             result, _ = build_index(
                 spark, files, cfg, args.index,
-                batch_id=bid or "base", collect_metrics=True,
+                batch_id=bid, collect_metrics=True,
             )
             deduped, metrics = result.deduped, result.metrics
             mode = "index-build"

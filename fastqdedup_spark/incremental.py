@@ -100,17 +100,38 @@ def model_hash(cfg: DedupConfig) -> str:
     return hashlib.sha256(json.dumps(fields, sort_keys=True).encode()).hexdigest()[:16]
 
 
-def _batch_id(files: DataFrame, cfg: DedupConfig, explicit: str | None) -> str:
-    """Deterministic id for an increment: the caller's name when given,
-    else cfg.input_id (the pipeline's input fingerprint convention),
-    else a plan-derived fallback. Reusing the id makes the append
-    idempotent — a re-run of the same increment skips the write."""
-    if explicit:
-        return explicit
+def derived_batch_id(cfg: DedupConfig, files: DataFrame | None = None) -> str:
+    """The batch id dedup_files_incremental derives when no explicit id
+    is given: from cfg.input_id when set (the pipeline's input
+    fingerprint convention), else from a content fingerprint of the
+    batch itself — an order-insensitive (count, crc32-sum, min, max)
+    aggregate over the sha column. The content fallback costs one scan
+    of the NEW batch (never the index), but it is stable across
+    sessions: a plan-string hash was not (logical plans embed Spark
+    expression ids that differ per session), which broke the
+    crash-resume contract — the retry of a crashed-after-append run
+    derived a fresh id, failed to exclude its own first append, and
+    dropped the whole batch as dup_exact. `files` must already carry
+    `sha` (with_sha256)."""
     if cfg.input_id:
         return hashlib.sha256(cfg.input_id.encode()).hexdigest()[:16]
-    plan = files._jdf.queryExecution().logical().toString()
-    return hashlib.sha256(plan.encode()).hexdigest()[:16]
+    if files is None:
+        raise ValueError("derived_batch_id needs cfg.input_id or the batch itself")
+    row = files.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32("sha")).alias("s"),
+        F.min("sha").alias("lo"),
+        F.max("sha").alias("hi"),
+    ).collect()[0]
+    key = f"{row['n']}|{row['s']}|{row['lo']}|{row['hi']}"
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _batch_id(files: DataFrame, cfg: DedupConfig, explicit: str | None) -> str:
+    """Deterministic id for an increment: the caller's name when given,
+    else derived_batch_id. Reusing the id makes the append idempotent —
+    a re-run of the same increment skips the write."""
+    return explicit or derived_batch_id(cfg, files)
 
 
 @dataclass
@@ -204,6 +225,17 @@ class DedupIndex:
         """True until the first completed (_SUCCESS-marked) batch lands —
         the CLI's build-vs-increment dispatch."""
         return not self._batches("fingerprints")
+
+    def batch_ids(self) -> list[str]:
+        """Ids of every COMPLETED batch (both _SUCCESS markers), sorted.
+        The CLI's re-run dispatch: when this equals [its own derived
+        id], the index holds nothing but this run's previous append —
+        re-running the seed build reproduces run 1 instead of deduping
+        the input against itself."""
+        root = os.path.join(self.path, "fingerprints")
+        if not os.path.isdir(root):
+            return []
+        return sorted(d for d in os.listdir(root) if self.has_batch(d))
 
     def has_batch(self, batch_id: str) -> bool:
         return os.path.exists(
@@ -388,8 +420,13 @@ def dedup_files_incremental(
         signed_new.select("nid", "content_norm", "n_shingles", "sig_packed")
     )
     est_ran = cfg.est_margin > 0  # cross_candidate_pairs prefilters iff margin > 0
+    # metadata_broadcast=False: the size/sketch relations inside verify
+    # derive from `contents`, which includes old_hit — unbounded by the
+    # increment's size for the same reason old_hit itself is unhinted
+    # above. Let AQE decide from the runtime size.
     verified = verify_pairs_jaccard(
-        cand, contents, cfg, id_col="nid", skip_est=est_ran, approx_rows=n_new
+        cand, contents, cfg, id_col="nid", skip_est=est_ran,
+        approx_rows=n_new, metadata_broadcast=False,
     )
     near_shas = (
         signed_new.join(

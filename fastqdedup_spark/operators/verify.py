@@ -286,9 +286,18 @@ def verify_pairs_jaccard(
     size_col: str | None = "n_shingles",
     skip_est: bool = False,
     approx_rows: float | None = None,
+    metadata_broadcast: bool | None = None,
 ) -> DataFrame:
     """Code-domain verification: exact Jaccard >= threshold on
     normalized content. Returns (id_a, id_b, jaccard).
+
+    `metadata_broadcast` overrides cfg.resolved_est_broadcast() for the
+    sketch/size relations derived from `contents`: pass False when the
+    caller cannot bound that table (the incremental path's contents
+    include index survivors hit by the band join — unbounded by the
+    increment's size), so AQE picks the join strategy from the REAL
+    runtime size instead of a forced broadcast hint overriding Spark's
+    own size guard. None keeps the batch pipeline's static resolution.
 
     When `size_col` (distinct-shingle counts from the signature stage)
     is available, pairs are pruned JVM-side BEFORE content ships to
@@ -307,7 +316,12 @@ def verify_pairs_jaccard(
     # budget at real scale and building the broadcast is driver-serial;
     # its join stays a shuffled equi-join on id (the scan-shaped plan
     # that survives 100x data).
-    hint = F.broadcast if cfg.resolved_est_broadcast() else (lambda df: df)
+    use_bcast = (
+        cfg.resolved_est_broadcast()
+        if metadata_broadcast is None
+        else metadata_broadcast
+    )
+    hint = F.broadcast if use_bcast else (lambda df: df)
     est_ran = skip_est  # upstream candidate generation already filtered
     if not skip_est and "sig_packed" in contents.columns and cfg.est_margin > 0:
         pairs = est_prefilter(

@@ -291,6 +291,48 @@ def test_index_append_idempotent(spark, split, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path / "ix"), "_meta.json"))
 
 
+def test_cli_seed_build_rerun_reproduces_run_one(spark, split, tmp_path):
+    """Re-running the FIRST --index command (crash retry, cron replay)
+    must reproduce run 1's output: before the batch-id fix the rerun
+    routed to the increment path under a DIFFERENT id than the seed
+    build's 'base', saw its own previous append as foreign history,
+    dropped every file as dup_exact, and overwrote --output with an
+    empty table."""
+    from fastqdedup_spark.cli import main
+
+    old, _ = split
+    old_p = str(tmp_path / "old")
+    old.write.parquet(old_p)
+    ix, out1, out2 = (str(tmp_path / d) for d in ("ix", "o1", "o2"))
+    common = ["--index", ix, "--shingle-k", "7", "--threshold", "0.8",
+              "-c", "canonical", "-q"]
+    main(["--input", old_p, "--output", out1, *common])
+    main(["--input", old_p, "--output", out2, *common])
+    s1 = sorted(r["sha"] for r in spark.read.parquet(out1).select("sha").collect())
+    s2 = sorted(r["sha"] for r in spark.read.parquet(out2).select("sha").collect())
+    assert s1 == s2 and s1
+    assert len(DedupIndex(spark, ix, CFG).batch_ids()) == 1  # no double append
+
+
+def test_derived_batch_id_is_content_stable(spark, split):
+    """The no-input_id fallback must be a pure function of the batch
+    CONTENT (plan strings embed per-session expression ids and broke
+    crash-resume): row order must not matter, different content must."""
+    from fastqdedup_spark.incremental import derived_batch_id
+    from fastqdedup_spark.operators.exact_dedup import with_sha256
+
+    cfg = DedupConfig()  # input_id == "" -> content fallback
+    old, new = split
+    a = with_sha256(old)
+    assert derived_batch_id(cfg, a) == derived_batch_id(
+        cfg, a.orderBy(F.desc("path"))
+    )
+    assert derived_batch_id(cfg, a) != derived_batch_id(cfg, with_sha256(new))
+    # explicit input_id wins and needs no DataFrame
+    cfg2 = DedupConfig(input_id="ds-v1")
+    assert derived_batch_id(cfg2) == derived_batch_id(cfg2, a)
+
+
 def test_cli_index_build_then_increment(spark, split, tmp_path):
     """End-to-end CLI surface: --index on an empty dir seeds it with the
     batch run's retained state; a second invocation with a new input

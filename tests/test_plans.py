@@ -132,3 +132,26 @@ def test_python_stage_tasks_cap_is_size_aware(spark):
         DedupConfig(python_stage_partitions=7).python_stage_tasks(sc, approx_rows=1)
         == 7
     )
+
+
+def test_verify_metadata_broadcast_override(spark):
+    """metadata_broadcast=False (the incremental path: contents include
+    index survivors, unbounded by the increment) must leave the size
+    relations UNHINTED so AQE sizes the join at runtime — a forced
+    broadcast hint overrides Spark's own size guard. None keeps the
+    batch pipeline's static auto-broadcast."""
+    from fastqdedup_spark.config import DedupConfig
+    from fastqdedup_spark.operators.verify import verify_pairs_jaccard
+
+    cfg = DedupConfig(est_margin=0)  # est off -> the size prune runs
+    contents = spark.createDataFrame(
+        [("a", "x y z", 3), ("b", "x y w", 3)],
+        "sha string, content_norm string, n_shingles int",
+    )
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    hinted = plan_audit(verify_pairs_jaccard(pairs, contents, cfg))
+    unhinted = plan_audit(
+        verify_pairs_jaccard(pairs, contents, cfg, metadata_broadcast=False)
+    )
+    assert hinted["broadcast_joins"] >= 2      # sz_a + sz_b relations
+    assert unhinted["broadcast_joins"] == 0    # AQE decides at runtime
