@@ -457,7 +457,9 @@ def q21_video_features(spark, sf):
         elif kind == "image":
             payload = b"\x89PNG" + bytes([i % 256]) * 64
         else:
-            payload = b"RIFF" + bytes([i % 256]) * 64
+            # RIFF is a container family: the sniffer needs the WAVE
+            # form tag at bytes 8-12 (same 68-byte total as before)
+            payload = b"RIFF\x00\x00\x00\x00WAVE" + bytes([i % 256]) * 56
         rows.append((i, kind, bytearray(payload), "", 16, 16, 300))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = extract_video_features(media, dim=16, every_ms=100)

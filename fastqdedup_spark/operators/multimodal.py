@@ -36,13 +36,22 @@ MEDIA_SCHEMA = (
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
-    b"RIFF": "audio/wav",
     b"YUV4MPEG2": "video/x-yuv4mpeg",
     b"\x00\x00\x00": "video/mp4",
 }
 
 
 def sniff_mime(payload: bytes) -> str:
+    # RIFF is a container family, not a format: bytes 8-12 pick the
+    # member (WAVE -> wav audio, 'AVI ' -> avi video). A bare "RIFF"
+    # -> audio/wav mapping mislabeled AVI payloads as audio.
+    if payload[:4] == b"RIFF":
+        form = payload[8:12]
+        if form == b"WAVE":
+            return "audio/wav"
+        if form == b"AVI ":
+            return "video/x-msvideo"
+        return "application/octet-stream"
     for magic, mime in _MAGIC.items():
         if payload[: len(magic)] == magic:
             return mime
@@ -305,6 +314,16 @@ def decode_video_frames(payload: bytes):
     Returns (list of HxW uint8 grayscale frames, fps) or None."""
     import io
 
+    # pyav's demuxers are promiscuous: av.open on a PNG/JPEG succeeds
+    # via the image2 demuxer and yields a 1-frame "video", and on a WAV
+    # there is no video stream but the open itself works — so in
+    # pyav-present environments image payloads would silently acquire
+    # video features (and break q21's NULL-features-for-images
+    # contract). Payloads that positively sniff as image/audio never
+    # reach the codec; unknown containers (mkv/webm/avi) still do.
+    sniffed = sniff_mime(payload)
+    if sniffed.startswith(("image/", "audio/")):
+        return None
     try:
         import av  # pyav — absent in this container, real path elsewhere
 
@@ -438,7 +457,10 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             ids = pdf["id"].to_numpy()
             rows = []
             kinds = ["image", "audio", "video"]
-            magics = [b"\x89PNG", b"RIFF", b"\x00\x00\x00"]
+            # RIFF alone is a container family, not audio: the sniffer
+            # needs the WAVE form tag at bytes 8-12 (a zero size field
+            # keeps the payload fake but structurally sniffable)
+            magics = [b"\x89PNG", b"RIFF\x00\x00\x00\x00WAVE", b"\x00\x00\x00"]
             for mid in ids:
                 kind_i = int(mid) % 3
                 rng = np.random.default_rng(np.random.SeedSequence([seed, int(mid)]))

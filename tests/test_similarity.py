@@ -412,3 +412,27 @@ def test_audio_decode_fake_path_matches_image_contract(spark):
     media = synth_media(spark, n=6)
     rows = extract_audio_features(media, dim=8, decode=False).collect()
     assert all(len(r.features) == 8 for r in rows)
+
+
+def test_sniff_riff_disambiguation_and_video_codec_guard():
+    """RIFF is a container family: WAVE -> audio, 'AVI ' -> video,
+    anything else unknown (a bare RIFF->wav mapping mislabeled AVI
+    payloads as audio). And payloads that positively sniff as
+    image/audio must never reach the video codec: pyav's image2
+    demuxer happily decodes a PNG as a 1-frame video, which would give
+    images video features in pyav-present environments and break q21's
+    NULL-features-for-images contract."""
+    from fastqdedup_spark.operators.multimodal import (
+        decode_video_frames,
+        sniff_mime,
+        synth_wav,
+    )
+
+    wav = synth_wav(440.0)
+    assert sniff_mime(wav) == "audio/wav"
+    avi = b"RIFF" + (1234).to_bytes(4, "little") + b"AVI " + b"\x00" * 16
+    assert sniff_mime(avi) == "video/x-msvideo"
+    assert sniff_mime(b"RIFFjunk") == "application/octet-stream"
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    assert decode_video_frames(png) is None
+    assert decode_video_frames(wav) is None
