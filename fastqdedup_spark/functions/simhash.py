@@ -148,6 +148,7 @@ def simhash_near_dup_pairs(
     df: DataFrame, id_col: str = "id", text_col: str = "text",
     max_hamming: int = 3, portable: bool = False,
     broadcast_sigs: bool = True, sig_transport: str = "probe",
+    band_join_hint: str | None = None,
 ) -> DataFrame:
     """End-to-end SimHash near-dup pair finder: sign -> pigeonhole band
     (n_chunks = max_hamming+1 guarantees 100% recall at the radius) ->
@@ -187,7 +188,17 @@ def simhash_near_dup_pairs(
     signed = df.select(
         F.col(id_col).alias("nid"), signer(F.col(text_col)).alias("simhash")
     ).localCheckpoint(eager=True)
-    cfg = DedupConfig()
+    # band_join_hint reaches the internal band-join config: the default
+    # (DedupConfig's "shuffle_hash") is the measured single-box winner,
+    # but a shuffled hash join's build side must FIT per-task execution
+    # memory (it throws instead of spilling — config.py's sizing
+    # caveat), and pigeonhole bands at wide radii are unboundedly hot.
+    # Memory-bound callers pass "" (let AQE pick) or "merge" (spills).
+    cfg = (
+        DedupConfig()
+        if band_join_hint is None
+        else DedupConfig(band_join_hint=band_join_hint)
+    )
     carry = sig_transport == "carry"
     band_base = simhash_bands(signed, n_chunks=max_hamming + 1)
     bands = band_base.select(

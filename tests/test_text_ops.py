@@ -101,3 +101,18 @@ def test_simhash_pair_finder(spark):
 def test_hamming64_expr(spark):
     df = spark.createDataFrame([(0b1011, 0b0011)], "a long, b long")
     assert df.select(hamming64("a", "b")).collect()[0][0] == 1
+
+
+def test_simhash_band_join_hint_reaches_the_plan(spark):
+    """The band-join hint is caller-reachable (memory-bound deployments
+    need '' or 'merge': a shuffled hash join throws instead of spilling
+    when its build side outgrows per-task execution memory) and must
+    not change the pair set."""
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 4} alpha beta gamma delta {i % 7}") for i in range(40)],
+        "id long, text string",
+    )
+    base = simhash_near_dup_pairs(docs, max_hamming=3)
+    merged = simhash_near_dup_pairs(docs, max_hamming=3, band_join_hint="merge")
+    k = lambda df: sorted((r["id_a"], r["id_b"]) for r in df.collect())
+    assert k(base) == k(merged)
