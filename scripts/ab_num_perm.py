@@ -48,8 +48,12 @@ def main():
             jaccard_threshold=0.6, est_margin=0.2,
             python_stage_partitions=16,
         ),
+        # band_bins=0 -> band over ALL 256 bins (64 bands x 4 rows).
+        # Left at the 128 default this arm silently ran 64 bands x 2
+        # rows over the first 128 bins — a far looser banding that
+        # floods candidates and mismeasures the coupled-256 arm.
         "np256": DedupConfig(
-            shingle_k=7, num_perm=256, bands=64,
+            shingle_k=7, num_perm=256, bands=64, band_bins=0,
             jaccard_threshold=0.6, est_margin=0.141,
             python_stage_partitions=16,
         ),

@@ -32,13 +32,17 @@ def main():
     files.count()
 
     base = dict(shingle_k=7, jaccard_threshold=0.6)
+    # every knob PINNED per arm (never inherited from the shipped
+    # default): after the copartition_pairs default flipped to False,
+    # default-relative arms silently collapsed into identical configs
+    # and the A/B compared a knob against itself
     ARMS = {
-        "head": DedupConfig(**base),
-        "nocopart": DedupConfig(**base, copartition_pairs=False),
-        "noorient": DedupConfig(**base, verify_orient=False),
+        "copart": DedupConfig(**base, copartition_pairs=True, verify_orient=True),
+        "nocopart": DedupConfig(**base, copartition_pairs=False, verify_orient=True),
+        "noorient": DedupConfig(**base, copartition_pairs=True, verify_orient=False),
         "legacy": DedupConfig(**base, copartition_pairs=False, verify_orient=False),
     }
-    dedup_files(spark, files, ARMS["head"], quality=False,
+    dedup_files(spark, files, ARMS["copart"], quality=False,
                 collect_metrics=False).deduped.count()  # warm-up
 
     best = {}
@@ -52,7 +56,8 @@ def main():
                               collect_metrics=False)
             n_out = res.deduped.count()
             wall = time.monotonic() - t0
-            rows0 = rows0 or n_out
+            if rows0 is None:  # `or` skipped the check when arm 1 returned 0
+                rows0 = n_out
             assert n_out == rows0, f"{arm}: output rows {n_out} != {rows0}"
             rec = {"arm": arm, "rep": rep, "wall": round(wall, 2),
                    "rows": n_out, "load_at_launch": round(l0, 1)}
