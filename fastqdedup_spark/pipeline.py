@@ -127,6 +127,11 @@ def dedup_files(
     the per-row sha256 invariant: `deduped` rows carry the `sha` of
     their untouched `content` (equality testable end-to-end).
     """
+    from fastqdedup_spark.sources import FILES_COLUMNS
+
+    missing = set(FILES_COLUMNS) - set(files.columns)
+    if missing:
+        raise ValueError(f"files table missing columns: {sorted(missing)}")
     ck = StageCheckpointer(spark, cfg)
     if quality:
         files = content_quality_filter(files)

@@ -147,3 +147,13 @@ def test_est_broadcast_autogate_flips_on_resumed_count(spark, corpus, tmp_path_f
     assert r2.metrics["est.broadcast"] == 0.0      # gate flipped to shuffled
     out2 = sorted(r.sha for r in r2.deduped.select("sha").collect())
     assert out1 == out2                            # plan choice, not semantics
+
+
+def test_missing_columns_raises_value_error(spark):
+    """Direct API callers get the same clear contract as the CLI's
+    read_files_table: a files table missing required columns fails
+    fast with the column list, not a deep AnalysisException from
+    whichever stage first touches the absent column."""
+    bad = spark.createDataFrame([("a",)], "path string")
+    with pytest.raises(ValueError, match="missing columns.*content"):
+        dedup_files(spark, bad, CFG)
