@@ -20,6 +20,7 @@ import argparse
 import logging
 import sys
 import time
+from dataclasses import replace
 
 from fastqdedup_spark.config import DedupConfig
 from fastqdedup_spark.pipeline import dedup_files
@@ -241,7 +242,23 @@ def main(argv: list[str] | None = None) -> None:
         # recognized below instead of deduping the input against its
         # own previous append (which returned an empty batch and
         # overwrote --output with it)
-        bid = args.index_batch_id or derived_batch_id(cfg)
+        try:
+            bid = args.index_batch_id or derived_batch_id(cfg)
+        except ValueError:
+            # remote input whose listing failed: input_fingerprint fell
+            # back to a TIMESTAMPED marker, which derived_batch_id
+            # refuses (a per-run id breaks every rerun/resume dispatch
+            # below). Derive a content-stable id from the batch itself,
+            # under the same preprocessing the incremental path applies.
+            from fastqdedup_spark.functions.quality import (
+                content_quality_filter,
+            )
+            from fastqdedup_spark.operators.exact_dedup import with_sha256
+
+            bid = derived_batch_id(
+                replace(cfg, input_id=""),
+                with_sha256(content_quality_filter(files)),
+            )
         if index.is_empty or index.batch_ids() == [bid]:
             if not args.update_index:
                 raise SystemExit(

@@ -112,8 +112,16 @@ def derived_batch_id(cfg: DedupConfig, files: DataFrame | None = None) -> str:
     crash-resume contract — the retry of a crashed-after-append run
     derived a fresh id, failed to exclude its own first append, and
     dropped the whole batch as dup_exact. `files` must already carry
-    `sha` (with_sha256)."""
-    if cfg.input_id:
+    `sha` (with_sha256).
+
+    A TIMESTAMPED input_id (input_fingerprint's `|unfingerprintable|`
+    fallback for remote inputs whose listing failed) is treated as
+    absent: it embeds time_ns, so deriving a batch id from it gives
+    every run a fresh id — the exact instability this function exists
+    to prevent (the rerun would dedup the batch against its own
+    previous append). Those runs fall through to the content
+    fingerprint."""
+    if cfg.input_id and "|unfingerprintable|" not in cfg.input_id:
         return hashlib.sha256(cfg.input_id.encode()).hexdigest()[:16]
     if files is None:
         raise ValueError("derived_batch_id needs cfg.input_id or the batch itself")
@@ -172,17 +180,70 @@ class DedupIndex:
                 )
         else:
             os.makedirs(path, exist_ok=True)
-            with open(meta_path, "w") as f:
-                json.dump(
-                    {"model": model_hash(cfg), "shingle_k": cfg.shingle_k,
-                     "num_perm": cfg.num_perm, "bands": cfg.bands,
-                     "band_bins": cfg.resolved_band_bins,
-                     "jaccard_threshold": cfg.jaccard_threshold,
-                     "seed": cfg.seed},
-                    f,
-                )
+            # write-to-temp + rename: a crash mid-dump must not leave a
+            # truncated _meta.json that wedges every future open (the
+            # batch dirs self-heal via _SUCCESS markers; the meta file
+            # gets the filesystem's atomic-replace instead)
+            self._write_json_atomic(
+                meta_path,
+                {"model": model_hash(cfg), "shingle_k": cfg.shingle_k,
+                 "num_perm": cfg.num_perm, "bands": cfg.bands,
+                 "band_bins": cfg.resolved_band_bins,
+                 "jaccard_threshold": cfg.jaccard_threshold,
+                 "seed": cfg.seed},
+            )
+
+    @staticmethod
+    def _write_json_atomic(dest: str, obj) -> None:
+        tmp = dest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, dest)
 
     # -- reads -------------------------------------------------------------
+    def _ledger(self) -> list[str]:
+        """Completed batch ids in APPEND order. The order comes from
+        _ledger.json (atomically updated by append()); any completed
+        batch the ledger missed — a crash between the second _SUCCESS
+        and the ledger write, or an index written by older code — is
+        appended in sorted order, so readers never lose data to a
+        bookkeeping gap."""
+        lpath = os.path.join(self.path, "_ledger.json")
+        order: list[str] = []
+        if os.path.exists(lpath):
+            try:
+                with open(lpath) as f:
+                    order = json.load(f)["order"]
+            except (json.JSONDecodeError, KeyError):
+                order = []  # truncated ledger: rebuilt from dirs below
+        order = [b for b in order if self.has_batch(b)]
+        root = os.path.join(self.path, "fingerprints")
+        if os.path.isdir(root):
+            seen = set(order)
+            # unledgered batches sort by their completion time (the
+            # fingerprints _SUCCESS mtime IS the append instant), not
+            # by name — lexicographic order can invert the true append
+            # order ("b1" < "base") and a wrong order corrupts the
+            # as-of exclusion below
+            order += sorted(
+                (d for d in os.listdir(root)
+                 if d not in seen and self.has_batch(d)),
+                key=lambda d: (
+                    os.path.getmtime(os.path.join(root, d, "_SUCCESS")), d
+                ),
+            )
+        return order
+
+    def _ensure_ledgered(self, batch_id: str) -> None:
+        order = self._ledger()
+        if batch_id not in order:
+            order.append(batch_id)
+        self._write_json_atomic(
+            os.path.join(self.path, "_ledger.json"), {"order": order}
+        )
+
     def _batches(self, sub: str, exclude: str | None = None) -> list[str]:
         # only COMPLETE batches (both fingerprints and index landed)
         # are visible to readers — a crash between append()'s two
@@ -192,14 +253,24 @@ class DedupIndex:
         # other read with "run build_index first" while refusing to
         # rebuild. Incomplete batches are overwritten by the retry
         # (has_batch is false for them), so the crash self-heals.
+        #
+        # `exclude` is AS-OF, not a single-id mask: a rerun of batch b
+        # must see the index exactly as b's first run did, and if
+        # another increment landed between b's crash and its retry,
+        # masking b alone would leak that later state into the retry —
+        # the output would silently de-sync from the index's persisted
+        # batch-b survivors. The ledger's append order makes "before
+        # b" well-defined; an unledgered exclude (fresh batch) sees
+        # everything, which IS its first-run view.
+        order = self._ledger()
+        if exclude is not None and exclude in order:
+            order = order[: order.index(exclude)]
         root = os.path.join(self.path, sub)
-        if not os.path.isdir(root):
-            return []
-        return sorted(
+        return [
             os.path.join(root, d)
-            for d in os.listdir(root)
-            if d != exclude and self.has_batch(d)
-        )
+            for d in order
+            if d != exclude and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+        ]
 
     def fingerprints(self, exclude: str | None = None) -> DataFrame:
         """(sha) of every file ever presented to this index. `exclude`
@@ -253,6 +324,10 @@ class DedupIndex:
         the same increment is a no-op, mirroring StageCheckpointer).
         Returns True when something was written."""
         if self.has_batch(batch_id):
+            # ledger repair: a crash between the second _SUCCESS and
+            # the ledger write leaves a completed-but-unledgered batch;
+            # the retry lands here and records it
+            self._ensure_ledgered(batch_id)
             return False
         # index first, fingerprints last: has_batch (and therefore
         # batch visibility in _batches) flips true only when the
@@ -264,6 +339,7 @@ class DedupIndex:
         fingerprints.select("sha").write.mode("overwrite").parquet(
             os.path.join(self.path, "fingerprints", batch_id)
         )
+        self._ensure_ledgered(batch_id)
         return True
 
 
@@ -305,11 +381,38 @@ def build_index(
     surv = res.deduped.groupBy("sha").agg(
         F.count(F.lit(1)).alias("cnt"), F.first("content").alias("content")
     )
-    index.append(
+    wrote = index.append(
         batch_id,
         fingerprints=res.clusters.select("sha"),
         signed_survivors=_sign_distinct(surv, cfg, None),
     )
+    if not wrote:
+        # append() no-ops when `batch_id` already completed — correct
+        # for the idempotent seed rerun (same corpus), a silent
+        # disaster for a DIFFERENT corpus under a reused id: the
+        # caller would hold B's dedup result while the index still
+        # serves A's state to every future increment. Compare the
+        # stored batch's fingerprints against this run's with the same
+        # order-insensitive aggregate derived_batch_id uses (one scan
+        # of ONE batch's sha table, never the corpus).
+        def _fp(df: DataFrame) -> tuple:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.crc32("sha")).alias("s"),
+                F.min("sha").alias("lo"),
+                F.max("sha").alias("hi"),
+            ).collect()[0]
+            return (row["n"], row["s"], row["lo"], row["hi"])
+
+        stored = spark.read.parquet(
+            os.path.join(path, "fingerprints", batch_id)
+        )
+        if _fp(stored) != _fp(res.clusters.select("sha")):
+            raise ValueError(
+                f"index at {path} already holds a batch {batch_id!r} built "
+                "from DIFFERENT content; pass a distinct batch_id (or a "
+                "fresh path) instead of silently keeping the old state"
+            )
     return res, index
 
 

@@ -242,7 +242,11 @@ def minhash_candidate_pairs(
     exact (Python) verify."""
     carry = cfg.est_transport == "carry"
     band_cols = [F.col(id_col), F.explode("band_hash").alias("band_hash")]
-    if carry and "sig_packed" in signed.columns:
+    # est_margin=0 disables the prefilter entirely, so carrying the
+    # 8-long sketch through the band exchange would fatten it ~2.3x
+    # for a payload nothing downstream reads — gate on the same
+    # condition as the prefilter itself.
+    if carry and "sig_packed" in signed.columns and cfg.est_margin > 0:
         band_cols.append(F.col("sig_packed"))
     bands = signed.select(*band_cols)
     if "sig_packed" in signed.columns and cfg.est_margin > 0:

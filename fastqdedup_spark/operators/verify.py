@@ -280,6 +280,31 @@ def est_filter_carried(
     return out.select(*cols)
 
 
+def mega_key_salt(pairs_per_key: int):
+    """Subtask salt for hash-min cluster keys whose pair count exceeds
+    the per-task budget (`_kcnt` > pairs_per_key): splits the key into
+    ceil(_kcnt / budget) granules so one mega-component cannot park its
+    whole pair list on a single python task.
+
+    Salts on BOTH endpoints: near-dup components are not always
+    cliques — band candidates are not transitive, so a boilerplate hub
+    can form a star whose stored pairs all share id_a (hub = the
+    component minimum). A single-endpoint salt is CONSTANT there and
+    the split silently collapses back into one task; hashing the
+    (id_a, id_b) pair always varies because the pair set is distinct.
+    Mega-key subtasks trade shingle-cache locality for spread —
+    straggler insurance is the point here.
+    """
+    budget = F.lit(pairs_per_key)
+    return F.when(
+        F.col("_kcnt") > budget,
+        F.pmod(
+            F.xxhash64("id_a", "id_b"),
+            F.ceil(F.col("_kcnt") / budget).cast("long"),
+        ),
+    ).otherwise(F.lit(0))
+
+
 def verify_pairs_jaccard(
     pairs: DataFrame, contents: DataFrame, cfg: DedupConfig,
     id_col: str = "sha", content_col: str = "content_norm",
@@ -416,12 +441,9 @@ def verify_pairs_jaccard(
         pairs, contents.select(id_col, content_col), id_col, content_col
     )
     if orient:
-        budget = F.lit(cfg.verify_pairs_per_key)
-        salt = F.when(
-            F.col("_kcnt") > budget,
-            F.pmod(F.xxhash64("id_a"), F.ceil(F.col("_kcnt") / budget).cast("long")),
-        ).otherwise(F.lit(0))
-        withv = withv.repartition(ptasks, F.col("_key"), salt)
+        withv = withv.repartition(
+            ptasks, F.col("_key"), mega_key_salt(cfg.verify_pairs_per_key)
+        )
     else:
         withv = withv.repartition(
             ptasks, "id_a", F.pmod(F.xxhash64("id_b"), F.lit(4))

@@ -64,9 +64,6 @@ def get_spark(
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # same throughput-GC choice for real cluster executors (no-op
-        # in local mode, where the driver JVM hosts the executors)
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         # Tungsten execution memory OFF-HEAP: the band self-join's hash
         # builds and the dedup aggregations allocate page arrays via
         # Unsafe instead of on-heap long[] — measured on the isolated
@@ -86,4 +83,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # same throughput-GC choice for real cluster executors (no-op in
+    # local mode, where the driver JVM hosts the executors). Deference
+    # mirrors the driver path above: a user-supplied
+    # spark.executor.extraJavaOptions (spark-submit --conf lands in
+    # PYSPARK_SUBMIT_ARGS) must not be clobbered — builder.config would
+    # override the submitted value at session build.
+    if "spark.executor.extraJavaOptions" not in os.environ.get(
+        "PYSPARK_SUBMIT_ARGS", ""
+    ):
+        builder = builder.config(
+            "spark.executor.extraJavaOptions", "-XX:+UseParallelGC"
+        )
     return builder.getOrCreate()

@@ -222,3 +222,46 @@ def test_decoupled_band_bins_keeps_recall_and_shrinks_margin(spark):
         >= cfg.jaccard_threshold
     ]
     assert dropped_true == []
+
+
+def test_margin_zero_drops_carried_sketch_from_band_plan(spark):
+    """est_margin=0 disables the prefilter, so the carry transport must
+    NOT ship the 8-long sketch through the band exchange (a ~2.3x
+    fattening nothing reads). The executed plan's band explode should
+    carry sig_packed only when the prefilter will consume it."""
+    from fastqdedup_spark.corpus import generate_files
+    from fastqdedup_spark.functions.minhash import (
+        add_signature_columns,
+        normalize_content,
+    )
+    from fastqdedup_spark.operators.exact_dedup import with_sha256
+    from fastqdedup_spark.operators.lsh import minhash_candidate_pairs
+
+    files = generate_files(spark, 200, seed=13)
+    distinct = (
+        with_sha256(files)
+        .groupBy("sha")
+        .agg(F.first("content").alias("content"))
+        .withColumn("content_norm", normalize_content("content"))
+        .select("sha", "content_norm")
+    )
+
+    def band_plan(margin):
+        cfg = DedupConfig(
+            shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.6,
+            est_transport="carry", est_margin=margin,
+        )
+        signed = add_signature_columns(distinct, cfg)
+        pairs, _ = minhash_candidate_pairs(signed, cfg, id_col="sha")
+        # optimized plan: column pruning has run, so an unread
+        # sig_packed survives only in the signer's FIXED MapInPandas
+        # output schema (a UDF's schema cannot be pruned) — any other
+        # line carrying it means the payload rides the band exchange
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        return [
+            l for l in plan.splitlines()
+            if "sig_packed" in l and "MapInPandas" not in l
+        ]
+
+    assert band_plan(0.2)       # prefilter consumes it downstream
+    assert not band_plan(0.0), "dead sketch payload rides the band plan"

@@ -372,3 +372,77 @@ def test_cli_index_build_then_increment(spark, split, tmp_path):
     f1 = idx.fingerprints().count()
     main(["--input", new_p, "--output", out2, *common])
     assert idx.fingerprints().count() == f1
+
+
+def test_retry_after_interleaved_batch_reproduces_first_run(spark, split, tmp_path):
+    """As-of visibility (ledger order): a retry of batch b1 that runs
+    AFTER batch b2 landed must still see the index exactly as b1's
+    first run did. Single-id exclusion leaks b2's state: b2's
+    fingerprints record every sha it SAW (including copies of b1's
+    kept files it dropped), so the leaky retry kills b1's whole kept
+    set in tier 1 and returns a de-synced output."""
+    old, new = split
+    _, idx = build_index(spark, old, CFG, str(tmp_path / "ix"), quality=False)
+    one = dedup_files_incremental(spark, new, CFG, idx, quality=False, batch_id="b1")
+    k1 = sorted(r["sha"] for r in one.deduped.select("sha").collect())
+    assert k1
+    # b2 lands between b1's crash and its retry: exact copies of b1's
+    # kept files — they die in b2's tier 1, but their shas enter b2's
+    # fingerprint table
+    copies = one.deduped.select(
+        F.col("repo"), F.concat(F.col("path"), F.lit(".copy")).alias("path"),
+        F.col("commit"), F.col("lang"), F.col("content"),
+    )
+    dedup_files_incremental(spark, copies, CFG, idx, quality=False, batch_id="b2")
+    retry = dedup_files_incremental(spark, new, CFG, idx, quality=False, batch_id="b1")
+    k2 = sorted(r["sha"] for r in retry.deduped.select("sha").collect())
+    assert k1 == k2
+
+
+def test_build_index_same_id_different_content_refused(spark, split, tmp_path):
+    """build_index under an already-used (path, batch_id) must no-op
+    only for the SAME corpus (idempotent seed rerun); different content
+    raises instead of silently keeping the old state while returning
+    the new corpus's dedup result."""
+    old, new = split
+    path = str(tmp_path / "ix")
+    build_index(spark, old, CFG, path, quality=False)
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        build_index(spark, new, CFG, path, quality=False)
+    # same-corpus rerun stays a clean no-op
+    res, idx = build_index(spark, old, CFG, path, quality=False)
+    assert len(idx.batch_ids()) == 1
+
+
+def test_missing_ledger_rebuilt_from_batch_dirs(spark, split, tmp_path):
+    """The ledger is bookkeeping, not truth: deleting _ledger.json (old
+    index layout, crash before the ledger write) must not hide data —
+    reads fall back to the sorted completed batch dirs and the next
+    append re-ledgers everything."""
+    old, new = split
+    path = str(tmp_path / "ix")
+    _, idx = build_index(spark, old, CFG, path, quality=False)
+    dedup_files_incremental(spark, new, CFG, idx, quality=False, batch_id="b1")
+    n_f = idx.fingerprints().count()
+    os.remove(os.path.join(path, "_ledger.json"))
+    # fallback sorts by completion time (_SUCCESS mtime), so the true
+    # append order survives ledger loss — lexicographic order would
+    # invert it ("b1" < "base") and corrupt the as-of exclusion
+    assert idx._ledger() == ["base", "b1"]
+    assert idx.fingerprints().count() == n_f
+    idx._ensure_ledgered("b1")
+    assert idx._ledger() == ["base", "b1"]
+
+
+def test_meta_write_is_atomic(spark, tmp_path):
+    """A truncated _meta.json would wedge the index forever; the
+    temp+rename write means the file is either absent or complete.
+    (Direct check: the atomic writer never leaves a partial dest.)"""
+    import json as _json
+
+    path = str(tmp_path / "ix")
+    DedupIndex(spark, path, CFG)
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = _json.load(f)  # complete, parseable
+    assert meta["model"]
+    assert not os.path.exists(os.path.join(path, "_meta.json.tmp"))

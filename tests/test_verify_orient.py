@@ -70,3 +70,27 @@ def test_orient_empty_pairs(spark):
     out = verify_pairs_jaccard(pairs, corpus, cfg, id_col="id",
                                content_col="content_norm", size_col=None)
     assert out.count() == 0
+
+
+def test_mega_key_salt_varies_on_star_hubs(spark):
+    """The oversized-key subtask salt must vary across a STAR's pairs:
+    band candidates are not transitive, so a boilerplate hub whose nid
+    is the component minimum stores every pair as (id_a=hub, id_b=leaf)
+    — a salt hashed from id_a alone is constant there and the split
+    collapses back into one straggler task."""
+    import pyspark.sql.functions as F
+
+    from fastqdedup_spark.operators.verify import mega_key_salt
+
+    star = spark.range(200).select(
+        F.lit("hub").alias("id_a"),
+        F.concat(F.lit("leaf"), F.col("id")).alias("id_b"),
+        F.lit(200).cast("long").alias("_kcnt"),
+    )
+    salts = star.select(mega_key_salt(16).alias("s"))
+    n = salts.distinct().count()
+    # ceil(200/16) = 13 granules; hashing (id_a, id_b) should hit most
+    assert n >= 8, f"star salt collapsed to {n} granule(s)"
+    # under-budget keys stay unsalted (no pointless spread)
+    small = star.withColumn("_kcnt", F.lit(8).cast("long"))
+    assert small.select(mega_key_salt(16).alias("s")).distinct().count() == 1
