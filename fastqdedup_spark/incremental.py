@@ -54,9 +54,16 @@ graft-only capability mandated by the 100 TB regime, not a port.
   the probe side prunes file scans; here they are plain parquet
   directories with the same logical layout.
 
-Index layout (filesystem, all writes _SUCCESS-guarded and idempotent):
+Index layout (filesystem; batch writes _SUCCESS-guarded and
+idempotent, JSON files written atomically via temp+rename):
 
   <path>/_meta.json                 similarity-model hash + params
+  <path>/_ledger.json               batch ids in APPEND order — reads
+                                    with `exclude=b` see only batches
+                                    appended BEFORE b (as-of), so a
+                                    crash-retry of b reproduces its
+                                    first run even after later
+                                    increments landed
   <path>/fingerprints/<batch>/      (sha)                    parquet
   <path>/index/<batch>/             (sha, nid, content_norm,
                                      n_shingles, band_hash,
