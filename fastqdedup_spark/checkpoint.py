@@ -98,6 +98,22 @@ class StageCheckpointer:
     def _lineage_path(self, stage: str) -> str:
         return os.path.join(self.base, "_lineage", stage)
 
+    def _success_exists(self, path: str) -> bool:
+        """_SUCCESS check that works for REMOTE checkpoint dirs too: a
+        driver-local os.path.exists is always False for hdfs://s3a://
+        paths, which silently disabled resume (and lineage verify)
+        while still paying every stage write — the north rule's
+        "resumable" claim void on exactly the deployments that need
+        it. Local paths keep the cheap os.stat."""
+        marker = os.path.join(path, "_SUCCESS")
+        if "://" not in path or path.startswith("file://"):
+            local = marker[len("file://"):] if marker.startswith("file://") else marker
+            return os.path.exists(local)
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(marker)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def _lineage_rows(self, df: DataFrame) -> list[tuple[str, int, int, int]]:
         """Per-partition-file lineage of a materialized stage: for each
         parquet part file, (file, rows, xor- and sum-folded xxhash64 of
@@ -141,9 +157,7 @@ class StageCheckpointer:
         corrupted part file fails loudly instead of flowing downstream.
         Checkpoints from before lineage existed just skip (metric 0)."""
         lpath = self._lineage_path(stage)
-        if not self.cfg.lineage or not os.path.exists(
-            os.path.join(lpath, "_SUCCESS")
-        ):
+        if not self.cfg.lineage or not self._success_exists(lpath):
             self.metrics.add(stage, "lineage_verified", 0)
             return
         stored = sorted(
@@ -163,7 +177,7 @@ class StageCheckpointer:
 
     def read_lineage(self, stage: str) -> DataFrame | None:
         lpath = self._lineage_path(stage)
-        if not os.path.exists(os.path.join(lpath, "_SUCCESS")):
+        if not self._success_exists(lpath):
             return None
         return self.spark.read.parquet(lpath)
 
@@ -178,7 +192,7 @@ class StageCheckpointer:
         if self._persisted is None:
             self._persisted = {}
             mpath = os.path.join(self.base, "_metrics")
-            if self.base and os.path.exists(os.path.join(mpath, "_SUCCESS")):
+            if self.base and self._success_exists(mpath):
                 try:
                     for r in self.spark.read.parquet(mpath).collect():
                         self._persisted.setdefault(r["stage"], []).append(
@@ -189,9 +203,7 @@ class StageCheckpointer:
         return self._persisted.get(stage, [])
 
     def has(self, stage: str) -> bool:
-        return bool(self.base) and os.path.exists(
-            os.path.join(self._path(stage), "_SUCCESS")
-        )
+        return bool(self.base) and self._success_exists(self._path(stage))
 
     def stage(
         self,
@@ -225,6 +237,12 @@ class StageCheckpointer:
                 for metric, value in self._persisted_stage_metrics(mstage):
                     if metric not in ("seconds", "resumed", "lineage_verified"):
                         self.metrics.add(mstage, metric, value)
+            # this run's cost of the stage is the load (+ lineage
+            # verify) time — emitted fresh so per-stage timings survive
+            # resume chains (the reload filter above excludes the
+            # persisted copy; without this add, `seconds` silently
+            # vanished from _metrics after the first resume)
+            self.metrics.add(name, "seconds", time.monotonic() - t0)
             return df
         df = build()
         if self.base:

@@ -87,10 +87,17 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
         fid = int(fid)
         family = fid // _FAMILY_SIZE
         member = fid % _FAMILY_SIZE
-        base_rng = np.random.default_rng(np.random.SeedSequence([seed, family, 0]))
         with_header = family % 3 == 0  # 1/3 of families share the license header
-        base = _base_content(base_rng, with_header)
         row_rng = np.random.default_rng(np.random.SeedSequence([seed, family, member + 1]))
+        if member <= _N_EXACT + _N_NEAR:
+            # base_rng is row-local and consumed ONLY here, so building
+            # the family base lazily (not for "unrelated" members, who
+            # discard it) changes no byte of any row — it just skips
+            # ~25% of the generation work
+            base_rng = np.random.default_rng(
+                np.random.SeedSequence([seed, family, 0])
+            )
+            base = _base_content(base_rng, with_header)
         if member == 0:
             tokens, kind = base, "base"
         elif member <= _N_EXACT:

@@ -53,8 +53,12 @@ def key_projection(columns: list[str], slices: list[slice] | None) -> Column:
         for s in padded
     )
     if simple:
+        # a stop-less slice (":" / "::" in the spec -> slice(None)) is
+        # a whole-column pass-through — substring(col, 1, None) is a
+        # plan-build type error, not "to the end"
         parts = [
-            F.col(c) if s is None else F.substring(F.col(c), 1, s.stop)
+            F.col(c) if s is None or s.stop is None
+            else F.substring(F.col(c), 1, s.stop)
             for c, s in zip(columns, padded)
         ]
         return F.concat(*parts)

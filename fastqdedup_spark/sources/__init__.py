@@ -71,8 +71,14 @@ def read_files_table(spark: SparkSession, location: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, location: str, mode: str = "overwrite") -> None:
+    """`mode` must hold on BOTH paths: the Iceberg writeTo API has no
+    mode() — createOrReplace() always replaces, so an "append" request
+    routed through it would silently drop the table's existing rows."""
     try:
-        df.writeTo(location).createOrReplace()
+        if mode == "append":
+            df.writeTo(location).append()
+        else:
+            df.writeTo(location).createOrReplace()
     except Exception:
         df.write.mode(mode).parquet(location)
 

@@ -110,10 +110,16 @@ def zip_fastq(tables: list[DataFrame], validate: bool = True) -> DataFrame:
         out = renamed if out is None else out.join(renamed, "record_idx", "inner")
     assert out is not None
     if validate and len(tables) > 1:
-        mism = out
+        # ANY mate mismatching flags the tuple (OR, not chained AND
+        # filters — those only kept rows where EVERY mate mismatched,
+        # so a 3-file zip with file 3 out of sync but files 1-2 in
+        # sync validated clean). eqNullSafe so a null name (malformed
+        # record) is a mismatch, not a three-valued-logic pass.
+        mismatch = None
         for i in range(1, len(tables)):
-            mism = mism.filter(_mate_root("name_0") != _mate_root(f"name_{i}"))
-        bad = mism.select("record_idx", "name_0").limit(1).collect()
+            c = ~_mate_root("name_0").eqNullSafe(_mate_root(f"name_{i}"))
+            mismatch = c if mismatch is None else (mismatch | c)
+        bad = out.filter(mismatch).select("record_idx", "name_0").limit(1).collect()
         if bad:
             raise ValueError(
                 f"records at index {bad[0].record_idx} are not mates: {bad[0].name_0!r}"
@@ -144,6 +150,30 @@ def deduplicate_fastq(
        against the RAW (pre-quality-filter) records, matching the
        reference's emission pass over the raw input files
     """
+    if cfg.checkpoint_dir and not cfg.input_id:
+        # Bind checkpoints to THIS input (config.py's input_id
+        # invariant: same knobs + different data must never resume
+        # each other's stages). Each table is single-file (zip_fastq
+        # enforces it), so the file names are a cheap, stable identity;
+        # without them a wrong resume is silent survivor corruption,
+        # so refuse rather than guess.
+        from dataclasses import replace
+
+        names = []
+        for df in tables:
+            if "file_name" in df.columns:
+                row = df.select("file_name").limit(1).collect()
+                names.append(row[0].file_name if row else "")
+            else:
+                names.append("")
+        if not any(names):
+            raise ValueError(
+                "cfg.checkpoint_dir is set but the input tables carry no "
+                "file_name to derive a checkpoint identity from; set "
+                "cfg.input_id explicitly so two datasets with the same "
+                "knobs cannot resume each other's stages"
+            )
+        cfg = replace(cfg, input_id="fastq|" + "|".join(names))
     zipped_raw = zip_fastq(tables)
     seq_cols = [c for c in zipped_raw.columns if c.startswith("sequence_")]
     qual_cols = [c.replace("sequence_", "qualities_") for c in seq_cols]

@@ -95,3 +95,29 @@ def test_persisted_metrics_stable_across_resume_chain(spark, tmp_path):
         # the reloaded custom counter survives every generation
         assert ("stage_m", "custom_counter") in keys
     assert counts[0] == counts[1] == counts[2]
+
+
+def test_resumed_stage_reemits_seconds(spark, tmp_path):
+    """Per-stage timings must survive resume chains: the resume path
+    excludes the persisted `seconds` copy (it would compound across
+    generations) and emits THIS run's load time fresh — before the fix
+    it did neither and stage timings vanished from _metrics after the
+    first resume."""
+    df = spark.range(0, 100).select("id")
+    ck1 = _ck(spark, tmp_path)
+    ck1.stage("stage_t", lambda: df)
+    assert "stage_t.seconds" in ck1.metrics.as_dict()
+    ck1.write_metrics()
+    ck2 = _ck(spark, tmp_path)
+    ck2.stage("stage_t", lambda: df)
+    m = ck2.metrics.as_dict()
+    assert m.get("stage_t.resumed") == 1
+    assert "stage_t.seconds" in m  # fresh load-time, not the old copy
+    ck2.write_metrics()
+    # persisted metrics keep exactly one seconds row per stage
+    ck3 = _ck(spark, tmp_path)
+    rows = [
+        (m_, v) for m_, v in ck3._persisted_stage_metrics("stage_t")
+        if m_ == "seconds"
+    ]
+    assert len(rows) == 1

@@ -181,3 +181,65 @@ def test_emission_pass_runs_on_raw_records(spark, tmp_path):
     out = deduplicate_fastq(spark, [t1], DedupConfig(max_distance=1))
     names = sorted(r.name_0 for r in out.collect())
     assert names == ["low/1", "other/1"]
+
+
+def test_zip_validates_third_mate_alone(spark, tmp_path):
+    """ANY mismatching mate must flag the tuple: the old chained-AND
+    filters only caught rows where EVERY mate mismatched, so a 3-file
+    zip with files 1-2 in sync but file 3 from a different read set
+    validated clean and zipped desynced records."""
+    _write_fastq(tmp_path / "z1.fastq", R1)
+    _write_fastq(tmp_path / "z2.fastq", R2)
+    umi_bad = [("WRONG/3", "ACGT", "IIII")] + [
+        (n.replace("/1", "/3"), s, q) for n, s, q in R1[1:]
+    ]
+    _write_fastq(tmp_path / "z3.fastq", umi_bad)
+    t1 = read_fastq(spark, str(tmp_path / "z1.fastq"))
+    t2 = read_fastq(spark, str(tmp_path / "z2.fastq"))
+    t3 = read_fastq(spark, str(tmp_path / "z3.fastq"))
+    with pytest.raises(ValueError, match="not mates"):
+        zip_fastq([t1, t2, t3])
+    # a fully-synced trio still validates clean
+    umi_ok = [(n.replace("/1", "/3"), s, q) for n, s, q in R1]
+    _write_fastq(tmp_path / "z3ok.fastq", umi_ok)
+    t3ok = read_fastq(spark, str(tmp_path / "z3ok.fastq"))
+    assert zip_fastq([t1, t2, t3ok]).count() == 5
+
+
+def test_key_projection_stopless_slice_passes_through(spark):
+    """":" / "::" in a check-lengths spec is slice(None) — a
+    whole-column pass-through, not substring(col, 1, None) (which is a
+    plan-build type error)."""
+    df = spark.createDataFrame([("ABCDEFGH", "12345678")], "s1 string, s2 string")
+    for spec, want in {"3,:": "ABC12345678", ":,::": "ABCDEFGH12345678"}.items():
+        got = df.select(
+            key_projection(["s1", "s2"], length_string_to_slices(spec)).alias("k")
+        ).collect()[0].k
+        assert got == want, spec
+
+
+def test_deduplicate_fastq_checkpoints_bind_to_input(spark, tmp_path):
+    """Two DIFFERENT fastq datasets run with the SAME cfg and
+    checkpoint_dir must not resume each other's stages (config.py's
+    input_id invariant): the second run's survivors must come from its
+    own records, not dataset A's checkpointed stages."""
+    from fastqdedup_spark.config import DedupConfig
+
+    _write_fastq(tmp_path / "dsa.fastq", R1)
+    dsb = [
+        ("x1/1", "AAAATTTT", "IIIIIIII"),
+        ("x2/1", "CCCCGGGG", "IIIIIIII"),
+        ("x3/1", "AAAATTTT", "IIIIIIII"),  # dup of x1
+    ]
+    _write_fastq(tmp_path / "dsb.fastq", dsb)
+    cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ck"), dissection="highest_count")
+    ta = read_fastq(spark, str(tmp_path / "dsa.fastq"))
+    tb = read_fastq(spark, str(tmp_path / "dsb.fastq"))
+    out_a = deduplicate_fastq(spark, [ta], cfg, None, None)
+    seqs_a = {r.sequence_0 for r in out_a.collect()}
+    out_b = deduplicate_fastq(spark, [tb], cfg, None, None)
+    seqs_b = {r.sequence_0 for r in out_b.collect()}
+    assert seqs_b == {"AAAATTTT", "CCCCGGGG"}  # B's own dedup, not A's
+    # A at max_distance=1: read1/read2/read4 cluster (Hamming 1, count
+    # 2 for ACGTACGT wins), read3 and read5 stand alone
+    assert seqs_a == {"ACGTACGT", "TTTTCCCC", "GGGGGGGG"}

@@ -54,3 +54,53 @@ def test_foreach_batch_first_wins(spark, tmp_path):
     # first-wins: the surviving 'x = 1' row is the (repo,path) minimum of batch 1
     first = [r for r in rows if r.content == "x = 1"][0]
     assert (first.repo, first.path) == ("r1", "a.py")
+
+
+def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """A crashed-and-replayed micro-batch must not double-emit: the
+    epoch=<id> overwrite plus the exclude-current-epoch seen read make
+    a replay reproduce its first attempt instead of appending dupes —
+    including the nasty half-failure where the out write committed but
+    the seen write did not."""
+    from fastqdedup_spark.streaming.dedup import foreach_batch_merge
+
+    out = str(tmp_path / "out")
+    seen = str(tmp_path / "seen")
+    schema = "repo string, path string, commit string, lang string, content string"
+    fn = foreach_batch_merge(seen, out)
+
+    b0 = spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "x = 1")], schema
+    )
+    fn(b0, 0)
+    # full replay of epoch 0 (checkpoint never committed)
+    fn(b0, 0)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].content == "x = 1"
+
+    # epoch 1 carries one dup of epoch 0 and one novel row; replay it too
+    b1 = spark.createDataFrame(
+        [("r2", "b.py", "c2", "py", "x = 1"), ("r2", "c.py", "c2", "py", "y = 2")],
+        schema,
+    )
+    fn(b1, 1)
+    fn(b1, 1)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.content for r in rows) == ["x = 1", "y = 2"]
+
+
+def test_streaming_dedup_state_is_watermark_bounded(spark):
+    """streaming_exact_dedup must plan the watermark-evicting dedup
+    operator (dropDuplicatesWithinWatermark), not the unbounded
+    dropDuplicates: with only sha in the key subset the watermark never
+    evicts and state grows for every sha ever seen."""
+    import pyspark.sql.functions as F
+
+    stream = (
+        spark.readStream.format("rate").load()
+        .select(F.col("timestamp").alias("ingest_ts"),
+                F.col("value").cast("string").alias("content"))
+    )
+    q = streaming_exact_dedup(stream)
+    plan = q._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan
