@@ -246,9 +246,11 @@ def q12_cosine_topk(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    res = brute_force_topk(e, q, k=3)
+    # round ONCE at 4 inside the operator: round(round(x, 6), 4)
+    # diverges from the oracle's single round(x, 4) near half-boundaries
+    res = brute_force_topk(e, q, k=3, round_decimals=4)
     return res.select(
-        "query_id", "vec_id", F.round("score", 4).alias("score"), F.col("rank").cast("long").alias("rank")
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -1001,8 +1003,13 @@ def oracle_sql() -> dict[str, str]:
                        trim(regexp_replace(lower(text || ' tail marker'), '\\s+', ' ', 'g')) AS norm
                 FROM documents
             ), sh AS (
-                SELECT DISTINCT id, substr(norm, i, 7) AS s
-                FROM all_docs, unnest(range(1, length(norm) - 5)) AS t(i)
+                -- BYTE 7-grams, matching the engine's UTF-8 window
+                -- kernel (minhash.shingle_window_hashes): hex() makes
+                -- each byte two chars, so substr(hx, 2i-1, 14) is the
+                -- byte window at offset i. Identical to char grams on
+                -- ASCII; on multi-byte text char grams would diverge.
+                SELECT DISTINCT id, substr(hex(encode(norm)), 2*i - 1, 14) AS s
+                FROM all_docs, unnest(range(1, octet_length(encode(norm)) - 5)) AS t(i)
             ), sizes AS (
                 SELECT id, count(*) AS sz FROM sh GROUP BY id
             ), inter AS (
@@ -1254,8 +1261,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT DISTINCT text AS content FROM documents)
             ),
             old_sh AS (
-                SELECT DISTINCT sha, substr(norm, i, 7) AS s
-                FROM old_s, unnest(range(1, length(norm) - 5)) AS t(i)
+                SELECT DISTINCT sha, substr(hex(encode(norm)), 2*i - 1, 14) AS s
+                FROM old_s, unnest(range(1, octet_length(encode(norm)) - 5)) AS t(i)
             ),
             old_sz AS (SELECT sha, count(*) AS sz FROM old_sh GROUP BY sha),
             old_pairs AS (
@@ -1295,8 +1302,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM new_s WHERE sha NOT IN (SELECT sha FROM old_s)
             ),
             fresh_sh AS (
-                SELECT DISTINCT sha, substr(norm, i, 7) AS s
-                FROM fresh, unnest(range(1, length(norm) - 5)) AS t(i)
+                SELECT DISTINCT sha, substr(hex(encode(norm)), 2*i - 1, 14) AS s
+                FROM fresh, unnest(range(1, octet_length(encode(norm)) - 5)) AS t(i)
             ),
             fresh_sz AS (SELECT sha, count(*) AS sz FROM fresh_sh GROUP BY sha),
             surv_sh AS (

@@ -81,24 +81,18 @@ def portable_simhash_batch(texts: "list[str]") -> np.ndarray:
 
 
 def _portable_simhash_chunk(texts: "list[str]") -> np.ndarray:
-    n = len(texts)
-    token_lists = [t.lower().split() for t in texts]
-    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
-    all_tokens = [tok for toks in token_lists for tok in toks]
-    out = np.zeros(n, dtype=np.uint64)
-    if not all_tokens:
-        return out.view(np.int64)
-    h = portable_token_hashes(all_tokens)  # (n_tokens,)
-    j = np.arange(64, dtype=np.int64)
-    bits = ((h[:, None] * (2 * j + 3)[None, :] + (5 * j + 1)[None, :]) % P) & 1
-    signed = bits.astype(np.int32) * 2 - 1  # (n_tokens, 64)
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
-    nonempty = np.nonzero(counts > 0)[0]
-    sums = np.add.reduceat(signed, starts[nonempty], axis=0)
-    packed = np.packbits((sums > 0).astype(np.uint8), axis=1, bitorder="little")
-    out[nonempty] = packed.view(np.uint64).ravel()
-    return out.view(np.int64)
+    # tokenize/reduceat/packbits machinery is the shared kernel in
+    # simhash.py (one copy of the RE2 tokenizer and the non-empty-rows
+    # reduceat subtlety); only the poly-mod bit derivation lives here
+    from fastqdedup_spark.functions.simhash import simhash_sign_reduce
+
+    def bits(all_tokens):
+        h = portable_token_hashes(all_tokens)  # (n_tokens,)
+        j = np.arange(64, dtype=np.int64)
+        b = ((h[:, None] * (2 * j + 3)[None, :] + (5 * j + 1)[None, :]) % P) & 1
+        return b.astype(np.int32) * 2 - 1  # (n_tokens, 64)
+
+    return simhash_sign_reduce(texts, bits)
 
 
 _SENTINEL = np.int64(2**62)  # > any (mod P) hash: never wins a min

@@ -43,7 +43,15 @@ def average_error_rate_udf(scores: pd.Series) -> pd.Series:
     offset = 33
     lens = scores.str.len().to_numpy()
     blob = np.frombuffer("".join(scores).encode("ascii"), dtype=np.uint8)
-    rates = _SCORE_TO_ERROR_RATE[blob.astype(np.int64) - offset]
+    qs = blob.astype(np.int64) - offset
+    # same range check as the scalar kernel (and the reference C
+    # kernel, _fastqmodule.c:56-63): without it a below-offset char
+    # (q < 0) would numpy-NEGATIVE-INDEX-wrap into the high end of the
+    # lookup table and score a corrupt read ~error-free instead of
+    # raising — the two kernels must agree on invalid data too
+    if len(qs) and (qs.min() < 0 or qs.max() > 93):
+        raise ValueError("Character outside of valid phred range found")
+    rates = _SCORE_TO_ERROR_RATE[qs]
     starts = np.zeros(len(scores), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     # reduceat only over non-empty rows (a trailing empty row's offset

@@ -18,6 +18,8 @@ second reduceat over np.unpackbits.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -74,17 +76,33 @@ def simhash_batch(texts: "pd.Series | list[str]", seed: int = 42) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
 
-def _simhash_chunk(texts: "list[str]", seed: int = 42) -> np.ndarray:
+# RE2's \s class EXACTLY ([\t\n\f\r ]): the q15 oracle tokenizes with
+# regexp_replace(lower(text), '\s+', ' ') in DuckDB (RE2), while
+# Python's str.split() also splits on \v and every Unicode space
+# (NBSP, NEL, ...) — a latent engine-vs-oracle pair-set divergence
+# that the first \v- or non-ASCII-bearing corpus would surface.
+_RE2_WS = re.compile("[\t\n\f\r ]+")
+
+
+def _ws_tokens(text: str) -> "list[str]":
+    return [tok for tok in _RE2_WS.split(text.lower()) if tok]
+
+
+def simhash_sign_reduce(texts: "list[str]", signed_bits_fn) -> np.ndarray:
+    """Shared SimHash reduction: tokenize -> (n_tokens, 64) signed-bit
+    matrix via `signed_bits_fn(all_tokens)` -> per-row reduceat ->
+    little-endian packbits. The ONE copy of the subtle parts (RE2
+    tokenizer above, the non-empty-rows reduceat below) — the splitmix
+    and portable signers differ only in their bit derivation and plug
+    it in here."""
     n = len(texts)
-    token_lists = [t.lower().split() for t in texts]
+    token_lists = [_ws_tokens(t) for t in texts]
     counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
     all_tokens = [tok for toks in token_lists for tok in toks]
     out = np.zeros(n, dtype=np.uint64)
     if not all_tokens:
         return out.view(np.int64)
-    h = _splitmix64(_token_hashes(all_tokens) ^ np.uint64(seed))
-    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    signed = bits.astype(np.int32) * 2 - 1  # (n_tokens, 64) in {-1, +1}
+    signed = signed_bits_fn(all_tokens)  # (n_tokens, 64) in {-1, +1}
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     # reduceat only over NON-EMPTY rows' starts: empty rows occupy zero
@@ -95,6 +113,17 @@ def _simhash_chunk(texts: "list[str]", seed: int = 42) -> np.ndarray:
     packed = np.packbits((sums > 0).astype(np.uint8), axis=1, bitorder="little")
     out[nonempty] = packed.view(np.uint64).ravel()
     return out.view(np.int64)
+
+
+def _simhash_chunk(texts: "list[str]", seed: int = 42) -> np.ndarray:
+    def bits(all_tokens):
+        h = _splitmix64(_token_hashes(all_tokens) ^ np.uint64(seed))
+        b = np.unpackbits(
+            h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        return b.astype(np.int32) * 2 - 1
+
+    return simhash_sign_reduce(texts, bits)
 
 
 @F.pandas_udf(T.LongType())

@@ -40,7 +40,12 @@ def common_lines(
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > int(doc_frac * n_docs))
-        .orderBy(F.desc("n_docs"))
+        # `line` tiebreak: a license header's lines all share one
+        # n_docs, so a bare desc(n_docs) limit would cut inside the tie
+        # group ARBITRARILY per run — two reruns would strip different
+        # line sets and the pipeline's rerun-stability contract breaks
+        # at the shingle level
+        .orderBy(F.desc("n_docs"), "line")
         .limit(max_lines)
     )
 

@@ -176,6 +176,12 @@ def dissect_clusters(
                 out_keys.extend(survivors)
             yield pd.DataFrame({"cluster_id": out_cids, "key": out_keys})
 
-    small_out = packed.mapInPandas(gen, "cluster_id string, key string")
+    # output schema mirrors the INPUT's cluster_id/key types: a
+    # hardcoded "string" would coerce a caller's bigint cluster ids
+    # through the final unionByName, silently changing the result
+    # schema and breaking downstream equi-joins on cluster_id
+    cid_t = clusters.schema["cluster_id"].dataType.simpleString()
+    key_t = clusters.schema["key"].dataType.simpleString()
+    small_out = packed.mapInPandas(gen, f"cluster_id {cid_t}, key {key_t}")
     big_out = big.groupBy("cluster_id").agg(F.min("key").alias("key"))
     return singles.unionByName(small_out).unionByName(big_out)

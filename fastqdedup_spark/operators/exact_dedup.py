@@ -40,20 +40,34 @@ def exact_group_counts(df: DataFrame) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame) -> DataFrame:
-    """Keep exactly one row per distinct content; first-wins by
+    """Keep EXACTLY one row per distinct content; first-wins by
     (repo, path, commit). Input must already have `sha`.
 
-    Join back on (sha, repo, path, commit, id) — an equi-join on the
-    group key `sha`; AQE turns it into a broadcast when the distinct
-    side is small."""
-    reps = exact_group_counts(df).select(
-        "sha",
-        F.col("rep.repo").alias("repo"),
-        F.col("rep.path").alias("path"),
-        F.col("rep.commit").alias("commit"),
-        F.col("cnt").alias("exact_count"),
+    Aggregation-only: one groupBy, no join-back. The earlier inner
+    join on (sha, repo, path, commit) matched EVERY input copy of the
+    representative row, so a fully-duplicated input row (same
+    repo/path/commit/content twice — two ingestion batches unioned is
+    enough) emitted two output rows for one distinct content. The
+    aggregation guarantees row-per-sha uniqueness by construction and
+    drops the join stage entirely. Non-key columns ride the min-struct
+    (they must be orderable types); `content` is fetched with first()
+    — identical per sha by definition."""
+    lead = ["repo", "path", "commit"]
+    rest = [c for c in df.columns if c not in (*lead, "sha", "content")]
+    out = (
+        df.groupBy("sha")
+        .agg(
+            F.min(F.struct(*lead, *rest)).alias("_rep"),
+            F.first("content").alias("_content"),
+            F.count(F.lit(1)).alias("exact_count"),
+        )
     )
-    return df.join(reps, on=["sha", "repo", "path", "commit"], how="inner")
+    cols = [
+        (F.col("_content") if c == "content" else F.col(f"_rep.{c}")).alias(c)
+        for c in df.columns
+        if c != "sha"
+    ]
+    return out.select(*cols, "sha", "exact_count")
 
 
 def exact_dup_metrics(df: DataFrame) -> DataFrame:

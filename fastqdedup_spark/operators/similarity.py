@@ -46,11 +46,18 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_decimals: int = 6,
 ) -> DataFrame:
     """Exact top-k neighbors for every query: (query_id, vec_id, score,
     rank). Queries are collected + broadcast (the query block is the
     small dim); the corpus streams through one mapInPandas doing a BLAS
     matmul per Arrow batch.
+
+    `round_decimals` is applied ONCE to the raw score — callers who
+    need coarser output must pass it here rather than re-rounding the
+    result: round(round(x, 6), 4) diverges from round(x, 4) for scores
+    within ~5e-7 of a half-boundary (double rounding), which breaks
+    value-exact parity against any oracle that rounds once.
 
     Scale shape: each Arrow batch emits only its LOCAL top-k per query
     (lexsorted by (-score, id) — the exact global tiebreak — so the
@@ -59,6 +66,12 @@ def brute_force_topk(
     rows, not |corpus| x |queries|: the exchange that used to ship the
     full scored cross product is gone."""
     qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        # np.linalg.norm on a (0,)-shaped array raises AxisError on the
+        # driver; an empty query set is an empty result, not a crash
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, score double, rank int"
+        )
     qids = [r[0] for r in qrows]
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
@@ -96,7 +109,10 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+        .select(
+            query_id_col, id_col,
+            F.round("score", round_decimals).alias("score"), "rank",
+        )
     )
 
 

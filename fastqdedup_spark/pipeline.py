@@ -141,13 +141,25 @@ def dedup_files(
     # mirroring the trie's count-in-node (_triemodule.c:233-239). The
     # first-wins representative (min (repo, path, commit), O13) is
     # computed in the SAME aggregation so the survivor tail never
-    # rescans the full input.
+    # rescans the full input. The rep struct carries EVERY non-content
+    # column (orderable types required; repo/path/commit lead, so the
+    # first-wins order is unchanged): the final `deduped` output is
+    # reconstructed from it directly, which both removes a full join
+    # of the corpus and guarantees one output row per surviving sha —
+    # the old join-back on (sha, repo, path, commit) matched every
+    # input copy of the representative row, so a fully-duplicated
+    # input row (two ingestion batches unioned) leaked duplicate
+    # output rows for one distinct content.
+    rep_rest = [
+        c for c in files.columns
+        if c not in ("repo", "path", "commit", "content", "sha")
+    ]
     distinct = ck.stage(
         "distinct_contents",
         lambda: files.groupBy("sha").agg(
             F.count(F.lit(1)).alias("cnt"),
             F.first("content").alias("content"),  # identical per sha
-            F.min(F.struct("repo", "path", "commit")).alias("rep"),
+            F.min(F.struct("repo", "path", "commit", *rep_rest)).alias("rep"),
         ),
         # distinct.contents (persisted by a metrics-mode run) rides this
         # stage's resume: it feeds the est_broadcast auto-gate below
@@ -308,19 +320,18 @@ def dedup_files(
     # O13 survivor semi-join + first-wins: one surviving FILE per
     # surviving content, deterministic by (repo, path, commit). The
     # representative rides on the distinct_contents stage — no second
-    # full-input aggregation here (one shuffle saved).
-    surviving_files = distinct.select("sha", "rep").join(
+    # full-input aggregation here, and no join back to `files` at all:
+    # the full row is rebuilt from the rep struct + the stage's
+    # content, so row-per-sha uniqueness is aggregation-guaranteed.
+    deduped = distinct.join(
         survivors.select(F.col("key").alias("sha")), "sha", "left_semi"
-    )
-    deduped = files.join(
-        surviving_files.select(
-            "sha",
-            F.col("rep.repo").alias("repo"),
-            F.col("rep.path").alias("path"),
-            F.col("rep.commit").alias("commit"),
-        ),
-        ["sha", "repo", "path", "commit"],
-        "inner",
+    ).select(
+        *[
+            (F.col("content") if c == "content" else F.col(f"rep.{c}")).alias(c)
+            for c in files.columns
+            if c != "sha"
+        ],
+        "sha",
     )
     if collect_metrics:
         ck.metrics.add_row("bands", band_metrics.collect()[0].asDict())

@@ -104,3 +104,55 @@ def test_content_chunk_bounds_scale_with_bytes_not_rows():
     ):
         got = [i for lo, hi in content_chunk_bounds(lens, T) for i in range(lo, hi)]
         assert got == list(range(len(lens)))
+
+
+def test_byte_gram_oracle_parity_on_non_ascii():
+    """The engine shingles UTF-8 BYTE k-grams; the q14/q24 oracles
+    replicate them via hex(encode(norm)) two-chars-per-byte windows.
+    Pin the equivalence on NON-ASCII content (the fixtures are all
+    ASCII, so a char-gram oracle regression would otherwise stay
+    latent until the first multi-byte corpus)."""
+    import duckdb
+
+    from fastqdedup_spark.functions.minhash import shingle_window_hashes
+
+    k = 7
+    texts = [
+        "héllo wörld héllo wörld",
+        "héllo wörld héllo wold",
+        "完全不同的文本内容",
+    ]
+    con = duckdb.connect()
+    for t in texts:
+        # engine: distinct byte-gram count (hashes are splitmix64 of
+        # exact byte windows; distinct-count equality on these tiny
+        # inputs means the window sets agree)
+        H, starts, counts = shingle_window_hashes([t], k)
+        engine_n = len(set(H[: counts[0]].tolist()))
+        oracle_n = con.execute(
+            """
+            SELECT count(DISTINCT substr(hex(encode(?1)), 2*i - 1, 14))
+            FROM unnest(range(1, octet_length(encode(?1)) - 5)) t(i)
+            """,
+            [t],
+        ).fetchone()[0]
+        assert engine_n == oracle_n, t
+        assert counts[0] == len(t.encode()) - k + 1
+        # a CHAR-gram oracle would disagree on these strings
+        char_n = con.execute(
+            "SELECT count(DISTINCT substr(?1, i, 7)) FROM unnest(range(1, length(?1) - 5)) t(i)",
+            [t],
+        ).fetchone()[0]
+        assert char_n != oracle_n, t
+
+
+def test_simhash_tokenizer_matches_re2_class():
+    """Engine tokenization must match the q15 oracle's RE2 whitespace
+    class ([\\t\\n\\f\\r ]) exactly: \\v and Unicode spaces (NBSP, NEL)
+    are NOT separators in RE2 but ARE in python's str.split()."""
+    from fastqdedup_spark.functions.simhash import _ws_tokens
+
+    assert _ws_tokens("A\tb\nc\fd\re f") == ["a", "b", "c", "d", "e", "f"]
+    assert _ws_tokens("a\x0bb") == ["a\x0bb"]          # \v: not RE2 \s
+    assert _ws_tokens("a\xa0b") == ["a\xa0b"]          # NBSP
+    assert _ws_tokens("a\x85b") == ["a\x85b"]          # NEL

@@ -157,3 +157,31 @@ def test_missing_columns_raises_value_error(spark):
     bad = spark.createDataFrame([("a",)], "path string")
     with pytest.raises(ValueError, match="missing columns.*content"):
         dedup_files(spark, bad, CFG)
+
+
+def test_fully_duplicated_input_rows_emit_one_survivor(spark):
+    """A literally duplicated input row (same repo/path/commit/content
+    twice — two ingestion batches unioned) must still yield EXACTLY one
+    output row per distinct content: the old join-back on
+    (sha, repo, path, commit) matched every input copy of the
+    representative and leaked duplicates into `deduped`."""
+    from fastqdedup_spark.config import DedupConfig
+    from fastqdedup_spark.operators.exact_dedup import exact_dedup, with_sha256
+    from fastqdedup_spark.pipeline import dedup_files
+
+    schema = "id long, repo string, path string, commit string, lang string, content string"
+    rows = [
+        (1, "r", "a.py", "c1", "py", "def f():\n    return 1\n" * 4),
+        (1, "r", "a.py", "c1", "py", "def f():\n    return 1\n" * 4),  # full dup row
+        (2, "r", "b.py", "c1", "py", "def g():\n    return 2\n" * 4),
+    ]
+    files = spark.createDataFrame(rows, schema)
+
+    ed = exact_dedup(with_sha256(files))
+    assert ed.count() == 2
+    a = [r for r in ed.collect() if r.path == "a.py"][0]
+    assert a.exact_count == 2  # both copies counted, one emitted
+
+    res = dedup_files(spark, files.unionByName(files), DedupConfig(), quality=False)
+    out = res.deduped.collect()
+    assert len(out) == len({r.sha for r in out}) == 2
