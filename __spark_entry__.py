@@ -880,7 +880,10 @@ def oracle_sql() -> dict[str, str]:
         f"when {_hits_sql('es')} > 0 then 'es' else 'und' end"
     )
     en_hits = _hits_sql("en")
-    padded_expr = "concat(' ', regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+    # double-space collapse mirrors functions/text.py _stopword_hits:
+    # each token gets its own surrounding pads so consecutive repeats
+    # of one stopword all count (replace() is non-overlapping)
+    padded_expr = "concat(' ', regexp_replace(lower(text), '\\s+', '  ', 'g'), ' ')"
     en_hits_inline = en_hits.replace("padded", padded_expr)
     return {
         "q01_pricing_summary": """
@@ -934,7 +937,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q09_lang_id": f"""
             SELECT doc_id, {lang_case} AS lang_guess
-            FROM (SELECT doc_id, concat(' ', regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS padded
+            FROM (SELECT doc_id, concat(' ', regexp_replace(lower(text), '\\s+', '  ', 'g'), ' ') AS padded
                   FROM documents)
         """,
         "q10_quality_score": f"""

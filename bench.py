@@ -112,7 +112,28 @@ def main() -> None:
         mode="w+", prefix="bench_stderr_", suffix=".log", delete=False
     )
     os.dup2(errf.fileno(), 2)
+    try:
+        _run(errf)
+    finally:
+        # ALWAYS restore fd 2 and replay the captured stream — without
+        # this, an exception anywhere in the run wrote its traceback
+        # into the temp file and the process died nonzero with zero
+        # diagnostic output (and leaked the temp file)
+        try:
+            os.fsync(2)
+        except OSError:
+            pass
+        os.dup2(orig_err, 2)
+        os.close(orig_err)
+        try:
+            with open(errf.name) as f:
+                sys.stderr.write(f.read())
+            os.unlink(errf.name)
+        except OSError:
+            pass
 
+
+def _run(errf) -> None:
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).agg(F.sum("id")).collect()  # JVM warm-up
@@ -178,11 +199,11 @@ def main() -> None:
         extras[p]["files_per_sec"] = round(extras[p]["files_in"] / timings[p], 1)
 
     total = round(sum(timings.values()), 3)
+    # read the captured stderr for the codegen-error count; fd 2 stays
+    # redirected — main()'s finally restores it and replays the text
     os.fsync(2)
     with open(errf.name) as f:
         err_text = f.read()
-    os.dup2(orig_err, 2)
-    sys.stderr.write(err_text)
     print(
         json.dumps(
             {

@@ -51,7 +51,9 @@ def normalize_content(col: str | Column = "content") -> Column:
     """Content normalization as pure Catalyst expressions: lowercase,
     collapse all whitespace runs to single spaces, trim. (Graft analog
     of the reference's key projection O4, __init__.py:160-167.)"""
-    c = F.col(col) if isinstance(col, str) else col
+    from fastqdedup_spark.functions import as_column
+
+    c = as_column(col)
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 

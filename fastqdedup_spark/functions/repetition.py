@@ -134,7 +134,9 @@ def word_repetition_stats(col: "str | Column") -> Column:
     """struct(n_words, dup_word_frac, dup_char_frac, top_word_count,
     top_bigram_frac) — see module docstring. Fractions rounded to 6
     places (the repo-wide double-hashing convention)."""
-    c = F.col(col) if isinstance(col, str) else col
+    from fastqdedup_spark.functions import as_column
+
+    c = as_column(col)
     words = _words(c)
     n = F.size(words).cast("long")
     n_distinct = F.size(F.array_distinct(words)).cast("long")

@@ -31,8 +31,7 @@ EMAIL_TOKEN = "<EMAIL>"
 IP_TOKEN = "<IP>"
 
 
-def _c(col: "str | Column") -> Column:
-    return F.col(col) if isinstance(col, str) else col
+from fastqdedup_spark.functions import as_column as _c
 
 
 def pii_counts(col: "str | Column") -> Column:

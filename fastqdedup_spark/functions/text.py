@@ -17,14 +17,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 
-def _c(col: "str | Column") -> Column:
-    return F.col(col) if isinstance(col, str) else col
+from fastqdedup_spark.functions import as_column as _c
 
 
 def token_count(col: "str | Column") -> Column:
-    """Whitespace token count; empty/blank -> 0. Portable formula:
-    non-space char runs = spaces-collapsed length arithmetic."""
-    trimmed = F.trim(_c(col))
+    """Whitespace token count; NULL/empty/blank -> 0 (the coalesce
+    matters: without it NULL text propagates NULL through the length
+    arithmetic and silently falls out of BOTH sides of any
+    token_count(c) >= k filter). Portable formula: non-space char runs
+    = spaces-collapsed length arithmetic."""
+    trimmed = F.trim(F.coalesce(_c(col), F.lit("")))
     collapsed = F.regexp_replace(trimmed, r"\s+", " ")
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.length(collapsed) - F.length(F.replace(collapsed, F.lit(" "), F.lit(""))) + 1
@@ -57,8 +59,17 @@ _STOPWORDS = {
 
 def _stopword_hits(col: Column, words: list[str]) -> Column:
     """Total occurrences of ` word ` in the space-padded lowered text.
-    Portable: (len(s) - len(replace(s, kw))) / len(kw), summed."""
-    padded = F.concat(F.lit(" "), F.regexp_replace(F.lower(col), r"\s+", " "), F.lit(" "))
+    Portable: (len(s) - len(replace(s, kw))) / len(kw), summed.
+
+    Whitespace runs collapse to TWO spaces so each token gets its own
+    surrounding pads: with single spaces, consecutive occurrences of
+    the same stopword ("the the") share the middle space, replace()
+    only removes non-overlapping matches, and exactly the degenerate
+    repetitive documents this heuristic must judge undercounted their
+    stopword density. The q09/q10 oracle SQL pads identically."""
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(col), r"\s+", "  "), F.lit(" ")
+    )
     hits = F.lit(0)
     for w in words:
         kw = f" {w} "

@@ -31,7 +31,9 @@ def word_ngrams(col: "str | Column", n: int) -> Column:
     """Array of space-joined word n-grams of the lowercased text;
     empty array when the doc has fewer than n words. Distinct grams
     (matching the oracle's set semantics)."""
-    c = F.col(col) if isinstance(col, str) else col
+    from fastqdedup_spark.functions import as_column
+
+    c = as_column(col)
     words = F.filter(
         F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+"),
         lambda x: x != F.lit(""),

@@ -32,8 +32,15 @@ def run_child(cores: int, n_files: int) -> dict:
          os.path.join(HERE, "scaling_bench.py"), "--child", str(cores), str(n_files)],
         capture_output=True, text=True, check=True, env=env,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    rec = json.loads(line)
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not json_lines:
+        # a bare [-1] here died with IndexError and no hint of which
+        # child failed or what it printed
+        raise RuntimeError(
+            f"scaling child (cores={cores}) exited 0 without a JSON "
+            f"line.\nstdout:\n{out.stdout[-2000:]}\nstderr:\n{out.stderr[-2000:]}"
+        )
+    rec = json.loads(json_lines[-1])
     rec["load_at_launch"] = load_at_launch
     print(json.dumps(rec), flush=True)
     return rec
@@ -44,6 +51,8 @@ def main():
     narrow = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     wide = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    if narrow >= wide:
+        raise SystemExit(f"narrow ({narrow}) must be < wide ({wide})")
     best = {narrow: None, wide: None}
     order = [wide, narrow]
     for rep in range(reps):
@@ -54,7 +63,10 @@ def main():
         order.reverse()
     tp_n = best[narrow]["files_per_sec"]
     tp_w = best[wide]["files_per_sec"]
-    ratio = wide // narrow
+    # true division: wide // narrow floor-rounded non-multiple width
+    # pairs (e.g. 12 -> 32 read as 2x instead of 2.67x), overstating
+    # efficiency and potentially flipping the 0.8 gate
+    ratio = wide / narrow
     eff = tp_w / (ratio * tp_n)
     print(json.dumps({
         "n_files": n_files,
