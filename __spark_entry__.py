@@ -186,7 +186,12 @@ def q11_bigram_jaccard(spark, sf, freq_cap: int | None = None, drop_stats: dict 
     bench.py runs the capped variant. A capped run changes `inter` by
     at most (capped bigrams)/|union| per pair — a documented
     precision trade, never silent (count the drops if enabled)."""
-    d = _t(spark, sf, "documents")
+    from fastqdedup_spark.functions.partitioning import widen_small_input
+
+    # the bigram build + explode + distinct partial agg ride the scan
+    # stage; a single-row-group parquet scan is 1 partition, so that
+    # work ran serially — widen first (no-op at real scale)
+    d = widen_small_input(_t(spark, sf, "documents"))
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
     bigrams = F.array_distinct(
         F.filter(
@@ -259,9 +264,14 @@ def q13_connected_components(spark, sf):
     similarity graph (same lang+source, n_chars within 1), labels =
     component-minimum doc_id — oracle-checked against a DuckDB
     recursive-CTE transitive closure."""
+    from fastqdedup_spark.functions.partitioning import widen_small_input
     from fastqdedup_spark.operators.connected_components import connected_components
 
-    d = _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    # widen the 1-partition scan so the self-join probe side runs at
+    # session width (no-op at real scale)
+    d = widen_small_input(
+        _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    )
     a, b = d.alias("a"), d.alias("b")
     edges = (
         a.join(
@@ -296,9 +306,14 @@ def q14_minhash_near_dup(spark, sf):
     # false-drop guard from 4.75 to ~3.4 sigma — enough for a rare
     # oracle-mismatch flake on boundary pairs. 0.2 keeps this query
     # byte-identical to its long-green round-4 behavior.
+    from fastqdedup_spark.functions.partitioning import widen_small_input
+
     cfg = DedupConfig(shingle_k=7, num_perm=128, bands=32, jaccard_threshold=0.8,
                       est_margin=0.2)
-    files = _docs_as_files(_t(spark, sf, "documents")).select(
+    # normalize_content (regex chain) rides the 2-partition union scan;
+    # widen first so it runs at session width (no-op at real scale) —
+    # the signer downstream already fans out via the Arrow-task cap
+    files = widen_small_input(_docs_as_files(_t(spark, sf, "documents"))).select(
         "id", normalize_content("content").alias("content_norm")
     )
     signed = add_signature_columns(files, cfg)

@@ -207,9 +207,16 @@ def simhash_near_dup_pairs(
     `portable=True` swaps in the SQL-replicable signer so a DuckDB
     oracle can recompute the identical pair set."""
     from fastqdedup_spark.config import DedupConfig
+    from fastqdedup_spark.functions.partitioning import widen_small_input
     from fastqdedup_spark.operators.lsh import _pairs_from_bands
 
     signer = simhash64_portable if portable else simhash64
+    # the signer is the operator's one Python stage and it rides the
+    # input's partitioning: a tiny single-row-group parquet scan plans
+    # as 1-2 partitions, serializing the signing on a wide box
+    # (measured at sf0.1/32c: portable q15 2.59 s with the signer at
+    # parallelism 2). Widen first; no-op at real scale.
+    df = widen_small_input(df)
     # consumed twice (band explode + verify join): eager localCheckpoint
     # materializes once and its blocks are released with the DataFrame
     # reference — an explicit persist() here leaked cached partitions on

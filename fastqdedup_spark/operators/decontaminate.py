@@ -63,13 +63,19 @@ def decontaminate(
     n_contaminated = distinct word n-grams shared with ANY benchmark
     document. Benchmark docs present in the corpus flag themselves —
     exactly the point (their dup family is contamination too)."""
+    from fastqdedup_spark.functions.partitioning import widen_small_input
+
     bgrams = (
         bench.select(
             F.explode(word_ngrams(bench_text_col or text_col, n)).alias("g")
         )
         .distinct()
     )
-    dgrams = docs.select(
+    # the corpus-side gram build + broadcast join + partial agg ALL ride
+    # the scan stage (the broadcast join adds no exchange): widen a tiny
+    # single-row-group scan so that work runs at session width instead
+    # of 1-2 partitions (no-op at real scale)
+    dgrams = widen_small_input(docs).select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g")
     )
     hits = (

@@ -98,8 +98,16 @@ def segment_dedup(
     non-null text; rows are keyed by `id_col`."""
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    from fastqdedup_spark.functions.partitioning import widen_small_input
+
     spark = docs.sparkSession
     npart = npart or spark.sparkContext.defaultParallelism
+    # segment construction (split + transform + slice over every doc)
+    # rides the scan and `segs` is evaluated by BOTH consumers below:
+    # widen a tiny single-row-group scan first so the heavy projection
+    # runs at session width instead of 1-2 scan partitions (no-op at
+    # real scale; the widening exchange is reused across consumers)
+    docs = widen_small_input(docs)
     segs = (
         docs.select(
             F.col(id_col),

@@ -24,6 +24,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame, Window
 
+from fastqdedup_spark.functions.partitioning import widen_small_input
+
 
 def cosine_expr(a: str, b: str) -> Column:
     """JVM-side cosine between two array<float/double> columns via
@@ -102,7 +104,12 @@ def brute_force_topk(
                 }
             )
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    # the BLAS pass rides the corpus partitioning: widen a tiny
+    # single-row-group scan first (no-op at scale) so the matmul and
+    # batch top-k use the box instead of 1-2 scan partitions
+    scored = widen_small_input(corpus.select(id_col, vec_col)).mapInPandas(
+        score, out_schema
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -190,7 +197,7 @@ def cosine_dup_pairs(
                 keep = a < b
                 yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
 
-        return corpus.select(id_col, vec_col).mapInPandas(
+        return widen_small_input(corpus.select(id_col, vec_col)).mapInPandas(
             block, "id_a long, id_b long"
         )
     if method != "bucketed":
@@ -214,7 +221,9 @@ def cosine_dup_pairs(
         ids = ids + (np.arange(n_tables, dtype=np.int64) << n_bits)
         return pd.Series(list(ids))
 
-    vecs = corpus.select(id_col, vec_col)
+    # the bucket UDF and the verify join's vector table both ride the
+    # corpus partitioning — widen a tiny scan once here (no-op at scale)
+    vecs = widen_small_input(corpus.select(id_col, vec_col))
     bands = vecs.select(
         F.col(id_col), F.explode(buckets(F.col(vec_col))).alias("band_hash")
     )
@@ -300,8 +309,10 @@ def ivf_topk(
 
     # double-cast before the JVM rerank so zip_with products are f64,
     # matching the oracle's ::DOUBLE[] arithmetic
-    assigned = corpus.select(
-        id_col, F.col(vec_col).cast("array<double>").alias("cvec")
+    # assignment + probe join + rerank all ride the corpus scan (the
+    # broadcast join adds no exchange): widen a tiny scan first
+    assigned = widen_small_input(
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("cvec"))
     ).withColumn("list_id", assign("cvec"))
     probes = queries.select(
         query_id_col, F.col(vec_col).cast("array<double>").alias("qvec")
@@ -381,6 +392,9 @@ def lsh_topk(
     in exactly the right bucket. multi_probe=1 probes 1 + n_bits
     buckets; 0 restores single-bucket probing. JVM-side bit flips —
     the corpus is never re-hashed or replicated."""
+    # bucket UDF + broadcast probe join + rerank ride the corpus scan:
+    # widen a tiny scan first (no-op at scale)
+    corpus = widen_small_input(corpus)
     c = add_sign_bucket(corpus, vec_col, dim, n_bits, seed, plane_kind=plane_kind).select(
         "bucket", F.col(id_col), F.col(vec_col).alias("cvec")
     )

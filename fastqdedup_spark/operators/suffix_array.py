@@ -117,13 +117,36 @@ def substring_dup_pairs(
     (boilerplate) are capped like LSH mega-bands — winnowing is a
     SAMPLING tier (recall bounded by w+k-1 anyway), so capping is a
     documented precision/cost trade, unlike the exact pigeonhole
-    schemes where it would break a guarantee. The sizes table is
-    corpus-scaled: join strategy stays with AQE."""
-    fps = winnowing_fingerprints(df, id_col, text_col, k, w, portable=portable)
-    sizes = fps.groupBy("fingerprint").count().filter(
-        (F.col("count") > 1) & (F.col("count") <= fingerprint_cap)
+    schemes where it would break a guarantee.
+
+    Plan shape (r6): the fingerprint stage is the operator's one Python
+    pass, and it must run exactly ONCE. The old sizes-aggregate + join
+    shape referenced `fps` from two branches, so the winnowing
+    mapInPandas executed twice — and at a tiny input's scan parallelism
+    of 1-2 (single-row-group parquet), i.e. 2x serial Python per q16
+    run at sf0.1/32c. Now the input is widened (scale-adaptive), the
+    fingerprints are shuffled once by fingerprint, and the
+    per-fingerprint count comes from a count-over-partition window
+    ABOVE that exchange: both self-join sides reuse the same exchange
+    (winnowing computed once, below it), the sizes join disappears,
+    and the self-join needs no further shuffle — both sides stay
+    partitioned on the join key."""
+    from pyspark.sql import Window
+
+    from fastqdedup_spark.functions.partitioning import widen_small_input
+
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    fps = winnowing_fingerprints(
+        widen_small_input(df), id_col, text_col, k, w, portable=portable
     )
-    kept = fps.join(sizes.select("fingerprint"), "fingerprint")
+    kept = (
+        fps.repartition(npart, "fingerprint")
+        .withColumn(
+            "_fcnt", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        )
+        .filter((F.col("_fcnt") > 1) & (F.col("_fcnt") <= fingerprint_cap))
+        .drop("_fcnt")
+    )
     left = kept.select("fingerprint", F.col(id_col).alias("id_a"))
     right = kept.select("fingerprint", F.col(id_col).alias("id_b"))
     return (
