@@ -287,8 +287,21 @@ class DedupConfig:
             or known_distinct <= self.est_broadcast_max_rows
         )
 
+    # Bump when the PERSISTED SHAPE of any checkpointed stage changes
+    # (e.g. round 5 widened distinct_contents' rep struct): a stale
+    # checkpoint from older code must key differently so a resume
+    # rebuilds it instead of failing on missing/renamed columns at
+    # load time (ADVICE r5: config_hash did not version stage schemas,
+    # so cross-upgrade resumes broke instead of rebuilding).
+    STAGE_SCHEMA_VERSION = 2
+
     def config_hash(self) -> str:
         """Stable hash identifying checkpoint compatibility (north_rule:
-        'resumable from checkpoint' — stages keyed by (stage, config_hash))."""
-        payload = json.dumps(asdict(self), sort_keys=True)
+        'resumable from checkpoint' — stages keyed by (stage, config_hash)).
+        Folds STAGE_SCHEMA_VERSION in so checkpoints written by code
+        with a different stage schema are rebuilt, not trusted."""
+        payload = json.dumps(
+            {**asdict(self), "_stage_schema_version": self.STAGE_SCHEMA_VERSION},
+            sort_keys=True,
+        )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]

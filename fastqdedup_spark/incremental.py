@@ -229,17 +229,26 @@ class DedupIndex:
         root = os.path.join(self.path, "fingerprints")
         if os.path.isdir(root):
             seen = set(order)
-            # unledgered batches sort by their completion time (the
-            # fingerprints _SUCCESS mtime IS the append instant), not
-            # by name — lexicographic order can invert the true append
+            # unledgered batches sort by their append instant, not by
+            # name — lexicographic order can invert the true append
             # order ("b1" < "base") and a wrong order corrupts the
-            # as-of exclusion below
+            # as-of exclusion below. The instant is read from the
+            # _appended marker append() persists INSIDE the batch
+            # (filesystem mtimes are not durable: an rsync without -t
+            # or a backup restore rewrites them and could silently
+            # invert the reconstructed order — ADVICE r5); batches from
+            # older code without the marker fall back to _SUCCESS mtime.
+            def _append_instant(d: str) -> float:
+                try:
+                    with open(os.path.join(root, d, "_appended")) as f:
+                        return float(f.read().strip())
+                except (OSError, ValueError):
+                    return os.path.getmtime(os.path.join(root, d, "_SUCCESS"))
+
             order += sorted(
                 (d for d in os.listdir(root)
                  if d not in seen and self.has_batch(d)),
-                key=lambda d: (
-                    os.path.getmtime(os.path.join(root, d, "_SUCCESS")), d
-                ),
+                key=lambda d: (_append_instant(d), d),
             )
         return order
 
@@ -346,6 +355,15 @@ class DedupIndex:
         fingerprints.select("sha").write.mode("overwrite").parquet(
             os.path.join(self.path, "fingerprints", batch_id)
         )
+        # durable append instant INSIDE the batch: the ledger-rebuild
+        # fallback orders unledgered batches by this, not by fs mtime
+        # (which copy/restore tooling rewrites — ADVICE r5)
+        import time as _time
+
+        with open(
+            os.path.join(self.path, "fingerprints", batch_id, "_appended"), "w"
+        ) as f:
+            f.write(repr(_time.time()))
         self._ensure_ledgered(batch_id)
         return True
 

@@ -90,10 +90,22 @@ def dissect_clusters(
     # 5k-member cluster of 1 MB files would be a 5 GB single row —
     # over Spark's 2 GB row/buffer limits. Oversized-by-bytes clusters
     # take the canonical fallback exactly like oversized-by-count ones.
+    # ONE thin aggregation routes every cluster AND resolves the two
+    # aggregate-only branches outright: carrying min(key) in the same
+    # pass means singletons (the bulk of any real corpus) and oversized
+    # fallbacks need NO join back to the member table at all — their
+    # survivor IS the carried min. Only the multi-member, in-bounds
+    # clusters re-touch `clusters`, via a thin semi-join that reuses
+    # the same cluster_id exchange the aggregation established (the
+    # old shape joined the full member table against sizes and then
+    # filtered it three ways — one extra corpus-wide join and a
+    # triple-evaluated join subtree; measured as the bulk of a
+    # 1.4-3.1 s survivors stage at bench sizes).
     byte_expr = F.sum(F.length("cmp")) if has_cmp else F.min(F.lit(0))
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("_csize"),
         F.coalesce(byte_expr.cast("long"), F.lit(0)).alias("_cbytes"),
+        F.min("key").alias("_minkey"),
     )
     # A singleton is never "oversized": every method returns the lone
     # member, so it needs no dissection kernel regardless of bytes.
@@ -104,16 +116,26 @@ def dissect_clusters(
         (F.col("_csize") > max_cluster_size)
         | (F.col("_cbytes") > max_cluster_bytes)
     ) & (F.col("_csize") > 1)
+    singles = sizes.filter(F.col("_csize") == 1).select(
+        "cluster_id", F.col("_minkey").alias("key")
+    )
+    big_out = sizes.filter(oversized).select(
+        "cluster_id", F.col("_minkey").alias("key")
+    )
     if metrics is not None:
-        # the fallback counter rides the SAME job as the sizes
-        # aggregation via Dataset.observe — counting it used to cost an
-        # extra eager .count() action per dissect call (VERDICT r3 #3).
+        # the fallback counter rides the final materialization via
+        # Dataset.observe on the fallback branch itself (its row count
+        # IS the cluster count) — counting it used to cost an extra
+        # eager .count() action per dissect call (VERDICT r3 #3).
         # add_lazy resolves it non-blockingly when metrics are read.
+        # (It cannot ride `sizes` anymore: sizes now feeds three plan
+        # branches, and a CollectMetrics node duplicated across
+        # branches trips the analyzer's duplicate-observation check.)
         from pyspark.sql import Observation
 
         obs = Observation()
-        sizes = sizes.observe(
-            obs, F.sum(oversized.cast("long")).alias("fallback_clusters")
+        big_out = big_out.observe(
+            obs, F.count(F.lit(1)).alias("fallback_clusters")
         )
 
         def _fallback_count():
@@ -124,12 +146,11 @@ def dissect_clusters(
 
         metrics.add_lazy("dissect", "fallback_clusters", _fallback_count)
         metrics.add("dissect", "max_cluster_size", max_cluster_size)
-    with_size = clusters.join(sizes, "cluster_id")
-    singles = with_size.filter(F.col("_csize") == 1).select("cluster_id", "key")
-    small = with_size.filter((F.col("_csize") > 1) & ~oversized).drop(
-        "_csize", "_cbytes"
+    small = clusters.join(
+        sizes.filter((F.col("_csize") > 1) & ~oversized).select("cluster_id"),
+        "cluster_id",
+        "left_semi",
     )
-    big = with_size.filter(oversized).drop("_csize", "_cbytes")
 
     # Dup-cluster corpora have MANY small clusters; one grouped-map
     # pandas group per cluster pays a JVM<->Python crossing each
@@ -183,5 +204,4 @@ def dissect_clusters(
     cid_t = clusters.schema["cluster_id"].dataType.simpleString()
     key_t = clusters.schema["key"].dataType.simpleString()
     small_out = packed.mapInPandas(gen, f"cluster_id {cid_t}, key {key_t}")
-    big_out = big.groupBy("cluster_id").agg(F.min("key").alias("key"))
     return singles.unionByName(small_out).unionByName(big_out)

@@ -279,18 +279,28 @@ def dedup_files(
     labels_nid, rounds = connected_components(
         edges_nid.select("id_a", "id_b"), cfg.cc_max_iterations, checkpointer=ck
     )
-    labels = (
-        labels_nid.join(nid_map.withColumnRenamed("nid", "id"), "id")
+    # cluster table in TWO joins instead of three: `signed` already
+    # carries (nid, sha, cnt) one row per distinct content, so the
+    # corpus side left-joins the (edge-sized) label table directly on
+    # nid — no separate id->sha translation join and no second scan of
+    # the distinct stage — and only the min-nid->min-sha translation
+    # remains as a second join (label-sized output; unmatched
+    # singletons keep their own sha via the coalesce, exactly
+    # _fill_singletons' semantics).
+    clusters = ck.stage(
+        "clusters",
+        lambda: signed.select("nid", "sha", "cnt")
+        .join(labels_nid.withColumnRenamed("id", "nid"), "nid", "left")
         .join(
             nid_map.withColumnRenamed("nid", "cluster_id").withColumnRenamed(
                 "sha", "cluster_sha"
             ),
             "cluster_id",
+            "left",
         )
-        .select(F.col("sha").alias("id"), F.col("cluster_sha").alias("cluster_id"))
-    )
-    clusters = ck.stage(
-        "clusters", lambda: _fill_singletons(distinct.select("sha", "cnt"), labels, "sha")
+        .select(
+            "sha", "cnt", F.coalesce("cluster_sha", F.col("sha")).alias("cluster_id")
+        ),
     )
     if cfg.dissection in ("canonical", "highest_count"):
         surv_input = clusters.select("cluster_id", F.col("sha").alias("key"), "cnt")

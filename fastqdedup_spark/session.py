@@ -147,14 +147,22 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     # same throughput-GC choice for real cluster executors (no-op in
-    # local mode, where the driver JVM hosts the executors). Deference
-    # mirrors the driver path above: a user-supplied
-    # spark.executor.extraJavaOptions (spark-submit --conf lands in
-    # PYSPARK_SUBMIT_ARGS) must not be clobbered — builder.config would
-    # override the submitted value at session build.
-    if "spark.executor.extraJavaOptions" not in os.environ.get(
-        "PYSPARK_SUBMIT_ARGS", ""
-    ):
+    # local mode, where the driver JVM hosts the executors). Deference:
+    # a user-supplied spark.executor.extraJavaOptions must not be
+    # clobbered — builder.config would override the submitted value at
+    # session build. Read the resolved SparkConf (spark-submit --conf
+    # lands in JVM system properties), not PYSPARK_SUBMIT_ARGS: under
+    # spark-submit the driver python process does NOT see user --conf
+    # values in that env var (ADVICE r5). SparkConf() here is after the
+    # SPARK_SUBMIT_OPTS setup above, so a gateway launched by it still
+    # carries the GC flag.
+    from pyspark import SparkConf
+
+    try:
+        user_exec_opts = SparkConf().get("spark.executor.extraJavaOptions", None)
+    except Exception:  # noqa: BLE001 — no gateway/JVM: nothing submitted
+        user_exec_opts = None
+    if user_exec_opts is None:
         builder = builder.config(
             "spark.executor.extraJavaOptions", "-XX:+UseParallelGC"
         )

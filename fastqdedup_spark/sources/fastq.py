@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -159,11 +160,31 @@ def deduplicate_fastq(
         # so refuse rather than guess.
         from dataclasses import replace
 
+        def _identity(name: str) -> str:
+            # name alone is not enough: a file overwritten in place
+            # with different content keeps its name and would silently
+            # resume the previous dataset's checkpointed stages (ADVICE
+            # r5) — fold size+mtime in for local files, and the
+            # metadata fingerprint (count|bytes) for remote ones,
+            # mirroring input_fingerprint's approach for file tables.
+            if not name:
+                return ""
+            if "://" in name and not name.startswith("file://"):
+                from fastqdedup_spark.sources import input_fingerprint
+
+                return input_fingerprint(name, spark)
+            p = name[len("file://"):] if name.startswith("file://") else name
+            try:
+                st = os.stat(p)
+                return f"{name}|{st.st_size}|{st.st_mtime_ns}"
+            except OSError:
+                return name
+
         names = []
         for df in tables:
             if "file_name" in df.columns:
                 row = df.select("file_name").limit(1).collect()
-                names.append(row[0].file_name if row else "")
+                names.append(_identity(row[0].file_name if row else ""))
             else:
                 names.append("")
         if not any(names):

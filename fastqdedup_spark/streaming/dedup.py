@@ -64,6 +64,38 @@ def _has_epochs(spark: SparkSession, path: str) -> bool:
     return statuses is not None and len(statuses) > 0
 
 
+def _migrate_legacy_seen(spark: SparkSession, seen_path: str) -> None:
+    """One-time upgrade of a PRE-EPOCH seen set (flat parquet files at
+    the root, the layout the previous code wrote): without this, an
+    existing stream upgraded across the epoch=<id> layout change
+    silently forgot every previously-seen sha and re-emitted them as
+    novel (ADVICE r5, medium). The flat files are rewritten into an
+    `epoch=-1` directory (-1 never collides with a real epoch id, so
+    the exclude-current-epoch read always includes it) and then
+    removed; a mixed flat+epoch root would otherwise break partition
+    discovery. Idempotent: gated on flat files existing; the epoch=-1
+    overwrite is repeatable, and a crash between write and delete
+    leaves the flat files for the next run to re-fold."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(seen_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return
+    root_files = [
+        st.getPath()
+        for st in fs.listStatus(p)
+        if not st.isDirectory()
+    ]
+    if not any(f.getName().endswith(".parquet") for f in root_files):
+        return
+    flat = spark.read.parquet(os.path.join(seen_path, "*.parquet"))
+    flat.select("sha").write.mode("overwrite").parquet(
+        os.path.join(seen_path, "epoch=-1")
+    )
+    for f in root_files:
+        fs.delete(f, False)
+
+
 def foreach_batch_merge(seen_path: str, out_path: str):
     """Returns a foreachBatch function implementing first-wins append:
     batch rows whose sha already exists in `seen_path` are dropped;
@@ -83,6 +115,7 @@ def foreach_batch_merge(seen_path: str, out_path: str):
             .agg(F.min(F.struct(*[c for c in batch.columns if c != "sha"])).alias("r"))
             .select("sha", "r.*")
         )
+        _migrate_legacy_seen(spark, seen_path)
         if _has_epochs(spark, seen_path):
             # exclude THIS epoch: a replay must see the seen set as-of
             # the previous epochs, or its own partial first attempt

@@ -104,3 +104,50 @@ def test_streaming_dedup_state_is_watermark_bounded(spark):
     q = streaming_exact_dedup(stream)
     plan = q._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in plan
+
+
+def test_legacy_flat_seen_set_is_migrated_and_honored(spark, tmp_path):
+    """ADVICE r5 (medium): a seen set written by the pre-epoch code
+    (flat parquet at the root) must keep suppressing its shas after the
+    epoch=<id> layout upgrade — folded into epoch=-1, not forgotten."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from fastqdedup_spark.streaming.dedup import foreach_batch_merge
+
+    seen = str(tmp_path / "seen_legacy")
+    out = str(tmp_path / "out_legacy")
+    schema = "repo string, path string, commit string, lang string, content string"
+    # the OLD layout: flat sha table at the root
+    old = spark.createDataFrame(
+        [("r0", "a.py", "c0", "py", "old content")], schema
+    ).withColumn("sha", F.sha2("content", 256))
+    old.select("sha").write.parquet(seen)
+    assert any(f.endswith(".parquet") for f in os.listdir(seen))
+
+    batch = spark.createDataFrame(
+        [
+            ("r1", "b.py", "c1", "py", "old content"),   # seen pre-upgrade
+            ("r1", "c.py", "c1", "py", "fresh content"),
+        ],
+        schema,
+    )
+    foreach_batch_merge(seen, out)(batch, 0)
+
+    emitted = {r.content for r in spark.read.parquet(out).collect()}
+    assert emitted == {"fresh content"}  # legacy sha suppressed
+    # layout migrated: no flat parquet left at the root, epoch=-1 exists
+    assert not any(f.endswith(".parquet") for f in os.listdir(seen))
+    assert os.path.isdir(os.path.join(seen, "epoch=-1"))
+    # and a second batch still sees both old and new shas
+    batch2 = spark.createDataFrame(
+        [
+            ("r2", "d.py", "c2", "py", "fresh content"),  # now seen
+            ("r2", "e.py", "c2", "py", "newest"),
+        ],
+        schema,
+    )
+    foreach_batch_merge(seen, out)(batch2, 1)
+    emitted = {r.content for r in spark.read.parquet(out).collect()}
+    assert emitted == {"fresh content", "newest"}
