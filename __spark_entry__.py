@@ -316,7 +316,13 @@ def q14_minhash_near_dup(spark, sf):
     files = widen_small_input(_docs_as_files(_t(spark, sf, "documents"))).select(
         "id", normalize_content("content").alias("content_norm")
     )
-    signed = add_signature_columns(files, cfg)
+    # pin the signatures: `signed` feeds BOTH the band explode and the
+    # verify content fetch — lazy, the OPH signer Python stage executed
+    # twice per run (observed as two concurrent 16-task Arrow stages)
+    # and the duplicated subtree roughly doubled Catalyst planning time
+    # (~0.7 s driver gap per fresh plan). Mirrors the pipeline, which
+    # checkpoints its signatures stage for the same reason.
+    signed = add_signature_columns(files, cfg).localCheckpoint(eager=True)
     pairs, _ = minhash_candidate_pairs(signed, cfg, id_col="id")
     verified = verify_pairs_jaccard(
         pairs, signed.select("id", "content_norm", "n_shingles", "sig_packed"), cfg, id_col="id", skip_est=True

@@ -42,8 +42,9 @@ def dissect_clusters(
     max_cluster_bytes: int = 256 << 20,
     within=None,
     metrics=None,
+    cmp_source: DataFrame | None = None,
 ) -> DataFrame:
-    """clusters: (cluster_id, key, cnt[, cmp]) -> survivors
+    """clusters: (cluster_id, key, cnt[, cmp | cmp_len]) -> survivors
     (cluster_id, key).
 
     `key` is the survivor identity; the optional `cmp` column is what
@@ -75,7 +76,7 @@ def dissect_clusters(
         raise ValueError(f"unknown dissection method: {method}")
 
     kernel = CLUSTER_DISSECTION_METHODS[method]
-    has_cmp = "cmp" in clusters.columns
+    has_cmp = "cmp" in clusters.columns or cmp_source is not None
 
     # split mega-clusters off to the aggregate fallback; sizes has one
     # row per cluster (corpus-scaled), so the join strategy stays with
@@ -101,7 +102,12 @@ def dissect_clusters(
     # filtered it three ways — one extra corpus-wide join and a
     # triple-evaluated join subtree; measured as the bulk of a
     # 1.4-3.1 s survivors stage at bench sizes).
-    byte_expr = F.sum(F.length("cmp")) if has_cmp else F.min(F.lit(0))
+    if "cmp_len" in clusters.columns:
+        byte_expr = F.sum("cmp_len")
+    elif "cmp" in clusters.columns:
+        byte_expr = F.sum(F.length("cmp"))
+    else:
+        byte_expr = F.min(F.lit(0))
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("_csize"),
         F.coalesce(byte_expr.cast("long"), F.lit(0)).alias("_cbytes"),
@@ -151,6 +157,14 @@ def dissect_clusters(
         "cluster_id",
         "left_semi",
     )
+    if cmp_source is not None:
+        # heavy payload attaches HERE, after routing: only kernel-bound
+        # members fetch their content
+        small = small.join(
+            cmp_source.select(F.col(cmp_source.columns[0]).alias("key"),
+                              F.col(cmp_source.columns[1]).alias("cmp")),
+            "key",
+        )
 
     # Dup-cluster corpora have MANY small clusters; one grouped-map
     # pandas group per cluster pays a JVM<->Python crossing each
@@ -172,6 +186,14 @@ def dissect_clusters(
     member_struct = (
         F.struct("key", "cnt", "cmp") if has_cmp else F.struct("key", "cnt")
     )
+    # Width note: the pack exchange's input bytes are small (~4 MB at
+    # 24k files), so AQE's byte-based coalescing starved this CPU-bound
+    # kernel down to 1-3 tasks. An explicit keyed repartition here gets
+    # ELIDED whenever the semi-join above already established the
+    # cluster_id partitioning (its ENSURE_REQUIREMENTS exchange is the
+    # coalesced one) — the session-level
+    # spark.sql.adaptive.coalescePartitions.minPartitionSize=64k floor
+    # (session.py) is what actually restores the stage's width.
     packed = small.groupBy("cluster_id").agg(
         F.collect_list(member_struct).alias("members")
     )

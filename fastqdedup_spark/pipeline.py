@@ -308,13 +308,21 @@ def dedup_files(
     else:
         # directional/adjacency in the code domain: identity stays the
         # sha, the radius predicate is exact Jaccard on normalized
-        # content (O10/O11 re-grounded; ref __init__.py:60-122)
+        # content (O10/O11 re-grounded; ref __init__.py:60-122).
+        # The member table stays THIN — a cmp_len column feeds the byte
+        # bound, and the heavy content attaches inside dissect only for
+        # the multi-member in-bounds clusters the kernel compares
+        # (singleton members, the bulk of a real corpus, never move
+        # content through the dissection exchanges at all).
         from fastqdedup_spark.oracle import jaccard_within
 
         surv_input = clusters.select("cluster_id", "sha", "cnt").join(
-            signed.select("sha", F.col("content_norm").alias("cmp")), "sha"
-        ).select("cluster_id", F.col("sha").alias("key"), "cnt", "cmp")
-        surv_kwargs = {"within": jaccard_within(cfg.jaccard_threshold, cfg.shingle_k)}
+            signed.select("sha", F.length("content_norm").alias("cmp_len")), "sha"
+        ).select("cluster_id", F.col("sha").alias("key"), "cnt", "cmp_len")
+        surv_kwargs = {
+            "within": jaccard_within(cfg.jaccard_threshold, cfg.shingle_k),
+            "cmp_source": signed.select("sha", "content_norm"),
+        }
     surv_kwargs["max_cluster_size"] = cfg.max_cluster_size
     surv_kwargs["max_cluster_bytes"] = cfg.max_cluster_bytes
     # always wired: the fallback counter rides the sizes job via

@@ -109,6 +109,18 @@ def get_spark(
         builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces reduce stages by BYTES with a 1 MB floor, which
+        # starves CPU-bound stages whose input is small but whose work
+        # is not: the dissection kernel's pack exchange is ~4 MB at
+        # 24k files, so the grouped Python stage ran on 3 tasks of a
+        # 32-core session (measured: the isolated dissect job 3.0 ->
+        # 1.3 s with the floor lowered). 64 KB keeps parallelism-first
+        # coalescing effective down to small exchanges; large shuffles
+        # (bytes/core above the floor) are unaffected at any scale.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # let a child partitioned on a SUBSET of the join keys satisfy
