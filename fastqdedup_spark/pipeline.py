@@ -133,6 +133,12 @@ def dedup_files(
     if missing:
         raise ValueError(f"files table missing columns: {sorted(missing)}")
     ck = StageCheckpointer(spark, cfg)
+    # a tiny single-row-group input scans as 1-2 partitions, so the
+    # quality regexes + sha256 + the distinct stage's partial agg would
+    # run near-serially; no-op at real scale / for checkpointed inputs
+    from fastqdedup_spark.functions.partitioning import widen_small_input
+
+    files = widen_small_input(files)
     if quality:
         files = content_quality_filter(files)
     files = with_sha256(files)
