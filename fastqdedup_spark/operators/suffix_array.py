@@ -135,13 +135,17 @@ def substring_dup_pairs(
 
     from fastqdedup_spark.functions.partitioning import widen_small_input
 
-    npart = df.sparkSession.sparkContext.defaultParallelism
     fps = winnowing_fingerprints(
         widen_small_input(df), id_col, text_col, k, w, portable=portable
     )
+    # no explicit repartition: the window's fingerprint clustering makes
+    # EnsureRequirements insert the exchange itself, sized by
+    # spark.sql.shuffle.partitions + AQE (scale-adaptive, unlike a
+    # pinned core count) — and since the exchange subtree is identical
+    # under both self-join branches it is planned as a ReusedExchange,
+    # keeping the Python pass below it single-evaluation either way.
     kept = (
-        fps.repartition(npart, "fingerprint")
-        .withColumn(
+        fps.withColumn(
             "_fcnt", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
         )
         .filter((F.col("_fcnt") > 1) & (F.col("_fcnt") <= fingerprint_cap))
