@@ -60,7 +60,11 @@ def _base_content(rng: np.random.Generator, with_header: bool) -> list:
         tokens.append(_LICENSE)
     for _ in range(n_lines):
         line_len = int(rng.integers(4, 9))
-        words = rng.choice(len(_WORDS), size=line_len)
+        # integers(0, n) draws the SAME stream as choice(n) (replace=True,
+        # p=None is implemented as exactly this call) without choice's
+        # per-call shape/validation overhead — measured 57% of _gen_batch
+        # CPU; byte-identity pinned by test_corpus_gen_equivalence
+        words = rng.integers(0, len(_WORDS), size=line_len)
         tokens.append(" ".join(_WORDS[w] for w in words) + "\n")
     return tokens
 
@@ -83,6 +87,13 @@ def _mutate(tokens: list, rng: np.random.Generator, n_edits: int) -> list:
 
 def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
     rows = []
+    # per-batch memo of each family's base token list: members 0-5 of a
+    # family all derive from the SAME (seed, family, 0)-seeded stream, so
+    # a batch holding a whole family rebuilt identical content six times.
+    # The base is never mutated in place (_mutate copies), and a family
+    # split across batches just computes it once per batch — byte
+    # output is unchanged either way (test_corpus_gen_equivalence).
+    base_memo: dict = {}
     for fid in ids:
         fid = int(fid)
         family = fid // _FAMILY_SIZE
@@ -94,10 +105,12 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
             # the family base lazily (not for "unrelated" members, who
             # discard it) changes no byte of any row — it just skips
             # ~25% of the generation work
-            base_rng = np.random.default_rng(
-                np.random.SeedSequence([seed, family, 0])
-            )
-            base = _base_content(base_rng, with_header)
+            base = base_memo.get(family)
+            if base is None:
+                base_rng = np.random.default_rng(
+                    np.random.SeedSequence([seed, family, 0])
+                )
+                base = base_memo[family] = _base_content(base_rng, with_header)
         if member == 0:
             tokens, kind = base, "base"
         elif member <= _N_EXACT:
@@ -107,7 +120,8 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
         else:
             tokens, kind = _base_content(row_rng, with_header), "unrelated"
         lang = _LANGS[family % len(_LANGS)]
-        commit = "".join(f"{b:02x}" for b in row_rng.integers(0, 256, 20))
+        # same 20 draws, same lowercase-hex text, no per-byte format call
+        commit = row_rng.integers(0, 256, 20).astype(np.uint8).tobytes().hex()
         rows.append(
             (
                 fid,
