@@ -63,7 +63,7 @@ def _base_content(rng: np.random.Generator, with_header: bool) -> list:
         # integers(0, n) draws the SAME stream as choice(n) (replace=True,
         # p=None is implemented as exactly this call) without choice's
         # per-call shape/validation overhead — measured 57% of _gen_batch
-        # CPU; byte-identity pinned by test_corpus_gen_equivalence
+        # CPU; byte-identity pinned by tests/test_corpus_gen.py
         words = rng.integers(0, len(_WORDS), size=line_len)
         tokens.append(" ".join(_WORDS[w] for w in words) + "\n")
     return tokens
@@ -92,7 +92,7 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
     # a batch holding a whole family rebuilt identical content six times.
     # The base is never mutated in place (_mutate copies), and a family
     # split across batches just computes it once per batch — byte
-    # output is unchanged either way (test_corpus_gen_equivalence).
+    # output is unchanged either way (tests/test_corpus_gen.py).
     base_memo: dict = {}
     for fid in ids:
         fid = int(fid)
