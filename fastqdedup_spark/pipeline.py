@@ -160,24 +160,36 @@ def dedup_files(
         c for c in files.columns
         if c not in ("repo", "path", "commit", "content", "sha")
     ]
+    # The distinct-contents count sizes two static plan choices below
+    # (est_broadcast gate, Arrow-stage task cap). It rides the stage's
+    # own materialization via Dataset.observe (CollectMetrics fires on
+    # BOTH materialization paths: localCheckpoint is a withAction and
+    # so is the durable parquet write) — zero extra jobs on a fresh
+    # run. A resumed checkpoint knows it from the previous run's
+    # persisted metrics; the count() fallback only remains for a
+    # no-metrics resume, where it is a cheap scan of the materialized
+    # stage (no recompute, no plan barrier).
+    from pyspark.sql import Observation
+
+    n_obs = Observation()
     distinct = ck.stage(
         "distinct_contents",
         lambda: files.groupBy("sha").agg(
             F.count(F.lit(1)).alias("cnt"),
             F.first("content").alias("content"),  # identical per sha
             F.min(F.struct("repo", "path", "commit", *rep_rest)).alias("rep"),
-        ),
+        ).observe(n_obs, F.count(F.lit(1)).alias("n")),
         # distinct.contents (persisted by a metrics-mode run) rides this
         # stage's resume: it feeds the est_broadcast auto-gate below
         reload_metrics=("distinct",),
     )
-    # The distinct-contents count sizes two static plan choices below
-    # (est_broadcast gate, Arrow-stage task cap). A resumed checkpoint
-    # knows it from the previous run's persisted metrics; a fresh run
-    # pays one cheap count JOB on the already-materialized stage (scan
-    # of cached/parquet blocks, no recompute, no plan barrier — the
-    # stage exists either way).
     n_distinct = ck.metrics.as_dict().get("distinct.contents")
+    if n_distinct is None:
+        # non-blocking probe (the add_lazy pattern): empty iff the
+        # stage was resumed, so build()/the observation never ran
+        jrow = n_obs._jo.getRowOrEmpty()
+        if jrow is not None and not (hasattr(jrow, "isEmpty") and jrow.isEmpty()):
+            n_distinct = n_obs.get["n"]
     if n_distinct is None:
         n_distinct = distinct.count()
     # AUTO est_broadcast resolution (static per run): past
