@@ -92,6 +92,20 @@ def get_spark(
     opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
     if "GC" not in opts:
         os.environ["SPARK_SUBMIT_OPTS"] = f"{opts} -XX:+UseParallelGC".strip()
+    # Executor python workers must import this package BY NAME (every
+    # pandas/Arrow UDF pickles by reference), but they only inherit the
+    # launch environment — not the driver's sys.path. Launched from
+    # outside the repo (cwd elsewhere, no PYTHONPATH), the first UDF
+    # task dies with ModuleNotFoundError. Export the package root on
+    # PYTHONPATH before the gateway JVM spawns — the local-mode analog
+    # of spark-submit --py-files; no-op if the JVM is already up or the
+    # path is present.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+        )
     if shuffle_partitions is None and master is not None:
         # local[N] → N; on a real cluster this would be ~2x total executor cores
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
